@@ -1,0 +1,175 @@
+"""Pytree module system for flamo_tpu.
+
+The reference library (flamo/processor/dsp.py:212-352) builds on
+``torch.nn.Module`` with mutable parameters and closures created at
+construction.  On TPU the natural design is the opposite: a *module is an
+immutable pytree* whose array-valued fields are leaves and whose
+configuration is static (part of the jit cache key).  A whole model —
+containers included — is then a single pytree that can be passed straight
+through ``jax.jit`` / ``jax.grad`` / ``optax`` with no tracing surprises.
+
+Key pieces
+----------
+* :class:`Module` — base class.  Subclasses declare ``leaf_fields``; every
+  other attribute set in ``__init__`` is static.  Registration with
+  ``jax.tree_util`` happens automatically via ``__init_subclass__``.
+* ``module.replace(**kw)`` — functional update (the counterpart of the
+  reference's in-place ``assign_value``, dsp.py:309-328).
+* :func:`trainable_mask` — builds a pytree of booleans matching a model's
+  leaves, True exactly for raw ``param`` leaves of modules constructed with
+  ``requires_grad=True``.  Used by the optimizer to freeze everything else.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _is_array_like(v):
+    return isinstance(v, (jax.Array, np.ndarray))
+
+
+class _Static:
+    """Hashable wrapper for static aux data; arrays compared by value."""
+
+    __slots__ = ("value",)
+
+    def __init__(self, value):
+        self.value = value
+
+    def __hash__(self):
+        v = self.value
+        if _is_array_like(v):
+            return hash((str(v.dtype), v.shape))
+        try:
+            return hash(v)
+        except TypeError:
+            return hash(id(v))
+
+    def __eq__(self, other):
+        if not isinstance(other, _Static):
+            return NotImplemented
+        a, b = self.value, other.value
+        if _is_array_like(a) or _is_array_like(b):
+            try:
+                return bool(np.array_equal(np.asarray(a), np.asarray(b)))
+            except Exception:
+                return a is b
+        try:
+            return bool(a == b)
+        except Exception:
+            return a is b
+
+
+class Module:
+    """Base class: an immutable pytree with declared array leaves.
+
+    Subclasses set the class attribute ``leaf_fields`` (tuple of attribute
+    names whose values are pytree leaves/subtrees — arrays or sub-Modules).
+    All other instance attributes are static configuration.
+    """
+
+    leaf_fields: tuple = ("param",)
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        jax.tree_util.register_pytree_node(
+            cls, cls._tree_flatten, cls._tree_unflatten
+        )
+
+    # -- pytree protocol -------------------------------------------------
+    def _tree_flatten(self):
+        leaves = tuple(getattr(self, f, None) for f in type(self).leaf_fields)
+        static_items = tuple(
+            sorted(
+                (k, _Static(v))
+                for k, v in self.__dict__.items()
+                if k not in type(self).leaf_fields
+            )
+        )
+        return leaves, static_items
+
+    @classmethod
+    def _tree_unflatten(cls, aux, leaves):
+        obj = object.__new__(cls)
+        for f, v in zip(cls.leaf_fields, leaves):
+            object.__setattr__(obj, f, v)
+        for k, sv in aux:
+            object.__setattr__(obj, k, sv.value)
+        return obj
+
+    # -- functional updates ----------------------------------------------
+    def replace(self, **updates) -> "Module":
+        """Return a copy of this module with the given attributes replaced."""
+        obj = object.__new__(type(self))
+        obj.__dict__.update(self.__dict__)
+        for k, v in updates.items():
+            if k not in self.__dict__ and k not in type(self).leaf_fields:
+                raise AttributeError(
+                    f"{type(self).__name__} has no attribute {k!r}"
+                )
+            obj.__dict__[k] = v
+        return obj
+
+    def __repr__(self):
+        cls = type(self).__name__
+        parts = []
+        for f in type(self).leaf_fields:
+            v = getattr(self, f, None)
+            if _is_array_like(v):
+                parts.append(f"{f}=Array{tuple(v.shape)}")
+            else:
+                parts.append(f"{f}={type(v).__name__}")
+        return f"{cls}({', '.join(parts)})"
+
+
+def _false_like(tree):
+    return jax.tree_util.tree_map(lambda _: False, tree)
+
+
+def trainable_mask(tree):
+    """Boolean pytree: True for ``param`` leaves of trainable modules.
+
+    Mirrors the reference's per-module ``requires_grad`` flag
+    (dsp.py:229, 260) in a functional way: the optimizer applies updates
+    only where the mask is True.
+    """
+    if isinstance(tree, Module):
+        leaves, aux = tree._tree_flatten()
+        trainable = bool(tree.__dict__.get("trainable", False))
+        out = []
+        for name, leaf in zip(type(tree).leaf_fields, leaves):
+            if name == "param" and trainable:
+                out.append(jax.tree_util.tree_map(lambda _: True, leaf))
+            else:
+                out.append(trainable_mask_children(leaf))
+        return type(tree)._tree_unflatten(aux, tuple(out))
+    return trainable_mask_children(tree)
+
+
+def trainable_mask_children(tree):
+    """Recurse into arbitrary containers, applying trainable_mask to Modules."""
+    if isinstance(tree, Module):
+        return trainable_mask(tree)
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(trainable_mask_children(v) for v in tree)
+    if isinstance(tree, dict):
+        return {k: trainable_mask_children(v) for k, v in tree.items()}
+    return _false_like(tree)
+
+
+def tree_where(mask, a, b):
+    """Elementwise pytree select: leaf from ``a`` where mask else from ``b``."""
+    return jax.tree_util.tree_map(
+        lambda m, x, y: x if m else y, mask, a, b,
+        is_leaf=lambda x: isinstance(x, bool),
+    )
+
+
+def complex_dtype_for(dtype) -> jnp.dtype:
+    dtype = jnp.dtype(dtype)
+    if dtype == jnp.float64:
+        return jnp.dtype(jnp.complex128)
+    return jnp.dtype(jnp.complex64)

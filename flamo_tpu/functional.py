@@ -1,0 +1,545 @@
+"""Math kernels (counterpart of reference flamo/functional.py, 1074 LoC).
+
+All functions are pure, jittable jnp code.  Differences from the reference
+that are deliberate TPU-first design:
+
+* :func:`expm` — ``jax.scipy.linalg.expm`` is unimplemented on this TPU
+  backend, so orthogonal maps use a custom scaling-and-squaring matrix
+  exponential built from matmuls only (MXU-friendly, differentiable).
+* :func:`get_eigenvalues` — nonsymmetric eigvals are not TPU-supported in
+  XLA; analysis paths run through ``jax.pure_callback`` to CPU LAPACK
+  (no-grad, off the hot loop), as planned in SURVEY.md §7.
+* low-order polynomial responses are evaluated directly at
+  ``z = e^{-j omega}`` instead of zero-padded rffts (identical values,
+  O(M) elementwise work that XLA fuses on the VPU).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flamo_tpu.core import complex_dtype_for
+from flamo_tpu.utils import RegularGridInterpolator, next_key, to_complex
+
+__all__ = [
+    "get_magnitude", "get_eigenvalues", "skew_matrix", "expm", "expm_skew",
+    "get_frequency_samples", "hadamard_matrix_jnp", "HadamardMatrix",
+    "RotationMatrix", "rotation_matrix", "biquad2tf", "signal_gallery",
+    "gen_velvet_noise", "hertz2rad", "rad2hertz", "db2mag", "mag2db",
+    "lowpass_filter", "highpass_filter", "bandpass_filter",
+    "shelving_filter", "peak_filter", "prop_shelving_filter",
+    "prop_peak_filter", "sosfreqz", "svf", "probe_sos", "find_onset",
+    "WGN_reverb", "rfft_phasor", "poly_response", "to_complex",
+]
+
+
+# ----------------------------------------------------------------------
+# basic linear algebra
+# ----------------------------------------------------------------------
+def get_magnitude(x):
+    """|x| (reference functional.py:10-21)."""
+    return jnp.abs(x)
+
+
+def _np_eigvals(x):
+    return np.linalg.eigvals(np.asarray(x)).astype(
+        complex_dtype_for(jnp.asarray(x).real.dtype)
+    )
+
+
+def get_eigenvalues(x):
+    """Eigenvalues of (..., N, N) (reference functional.py:24-39).
+
+    Nonsymmetric eig is not available in XLA on TPU; this routes through a
+    host callback (analysis-only, not differentiable) — SURVEY.md §7 hard
+    part #2.
+    """
+    x = jnp.asarray(x)
+    assert x.shape[-1] == x.shape[-2]
+    if x.shape[-1] == 1:
+        return x
+    out_dtype = complex_dtype_for(x.real.dtype)
+    result_shape = jax.ShapeDtypeStruct(x.shape[:-1], out_dtype)
+    return jax.pure_callback(_np_eigvals, result_shape, x, vmap_method="expand_dims")
+
+
+def skew_matrix(X):
+    """Upper-triangular antisymmetrization (reference functional.py:42-56)."""
+    A = jnp.triu(X, 1)
+    return A - jnp.swapaxes(A, -1, -2)
+
+
+def expm(A, order: int = 16):
+    """Matrix exponential via scaling-and-squaring + Taylor series.
+
+    Pure matmuls -> runs on the MXU and differentiates cleanly.  Accuracy for
+    the small (N<=64) matrices used here is ~float32 eps with order=12 and
+    scaling to norm <= 0.5.  Squaring count is static (based on a conservative
+    bound) so the jitted graph has no data-dependent control flow.
+    """
+    A = jnp.asarray(A)
+    n = A.shape[-1]
+    # static squaring count: scale by 2^s so the Taylor series converges
+    # fast; each squaring amplifies rounding ~2x, so keep s small.  s=6
+    # covers ||A|| <= 32 with a scaled norm <= 0.5 — ample for the skew
+    # matrices of N(0,1) raw params used here (||A||_2 ~ 2 sqrt(n)).
+    s = 6
+    As = A / (2.0 ** s)
+    # Taylor series of exp(As)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)
+    term = eye
+    out = eye
+    for k in range(1, order + 1):
+        term = jnp.matmul(term, As) / k
+        out = out + term
+    for _ in range(s):
+        out = jnp.matmul(out, out)
+    return out
+
+
+def expm_skew(X):
+    """Orthogonal matrix exp(skew(X)) — the reference's ``orthogonal`` map
+    (dsp.py:649, functional.py:42-56)."""
+    return expm(skew_matrix(X))
+
+
+def get_frequency_samples(num: int, dtype=jnp.float32):
+    """Unit-circle samples e^{j pi t}, t in [0,1] (reference functional.py:59-73)."""
+    angle = jnp.linspace(0.0, 1.0, num, dtype=dtype)
+    return jnp.exp(1j * angle * jnp.pi).astype(complex_dtype_for(dtype))
+
+
+def hadamard_matrix_jnp(N: int, dtype=jnp.float32):
+    """Normalized Hadamard matrix via Kronecker doubling
+    (reference functional.py:76-93, scattering.py:243-253)."""
+    U = np.array([[1.0]])
+    while U.shape[0] < N:
+        U = np.kron(U, np.array([[1.0, 1.0], [1.0, -1.0]])) / np.sqrt(2.0)
+    return jnp.asarray(U, dtype=dtype)
+
+
+class HadamardMatrix:
+    """Callable map ignoring its input, returning the Hadamard matrix
+    (mirrors the reference nn.Module map, functional.py:76-93)."""
+
+    def __init__(self, N: int, dtype=jnp.float32):
+        self.N = N
+        self.dtype = dtype
+
+    def __call__(self, x):
+        return hadamard_matrix_jnp(self.N, self.dtype)
+
+    def __hash__(self):
+        return hash(("HadamardMatrix", self.N, str(self.dtype)))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, HadamardMatrix)
+            and other.N == self.N
+            and str(other.dtype) == str(self.dtype)
+        )
+
+
+def rotation_matrix(theta, N: int, iters=None, min_angle=0.0,
+                    max_angle=math.pi / 4, dtype=jnp.float32):
+    """Kronecker-of-2x2-rotations orthogonal matrix
+    (reference functional.py:96-138)."""
+    theta = jnp.clip(jnp.asarray(theta, dtype=dtype), min_angle, max_angle)
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    X = jnp.stack([jnp.stack([c, s]), jnp.stack([-s, c])])
+    if iters is None:
+        iters = int(math.log2(N)) - 1
+    for _ in range(int(iters)):
+        X = jnp.kron(X, X)
+    return X
+
+
+class RotationMatrix:
+    """Callable map: scalar raw angle -> Kronecker rotation matrix."""
+
+    def __init__(self, N: int, iters=None, min_angle=0.0,
+                 max_angle=math.pi / 4, dtype=jnp.float32):
+        self.N, self.iters = N, iters
+        self.min_angle, self.max_angle = min_angle, max_angle
+        self.dtype = dtype
+
+    def __call__(self, theta):
+        return rotation_matrix(theta, self.N, self.iters, self.min_angle,
+                               self.max_angle, self.dtype)
+
+    def __hash__(self):
+        return hash(("RotationMatrix", self.N, self.iters, str(self.dtype)))
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, RotationMatrix)
+            and (other.N, other.iters) == (self.N, self.iters)
+            and str(other.dtype) == str(self.dtype)
+        )
+
+
+# ----------------------------------------------------------------------
+# polynomial / transfer-function evaluation
+# ----------------------------------------------------------------------
+def rfft_phasor(nfft: int, dtype=jnp.float32):
+    """z^{-1} on the rfft grid: e^{-j 2 pi m / nfft}, shape (nfft//2+1,)."""
+    m = jnp.arange(nfft // 2 + 1, dtype=dtype)
+    w = 2.0 * jnp.pi * m / nfft
+    return jnp.exp(-1j * w).astype(complex_dtype_for(dtype))
+
+
+def poly_response(coeffs, nfft: int):
+    """Exact equivalent of ``rfft(pad(coeffs, nfft), axis=0)`` for low-order
+    polynomials, evaluated by Horner on the rfft grid.
+
+    coeffs: (P, ...) tap axis first.  Returns (M, ...) complex with
+    M = nfft//2+1.  For P <= ~8 this beats a length-nfft FFT by orders of
+    magnitude and fuses into neighboring elementwise ops on the VPU.
+    """
+    coeffs = jnp.asarray(coeffs)
+    P = coeffs.shape[0]
+    zinv = rfft_phasor(nfft, coeffs.real.dtype if jnp.issubdtype(
+        coeffs.dtype, jnp.complexfloating) else coeffs.dtype)
+    zinv = zinv.reshape((-1,) + (1,) * (coeffs.ndim - 1))
+    out = jnp.asarray(coeffs[P - 1], dtype=zinv.dtype)
+    for k in range(P - 2, -1, -1):
+        out = out * zinv + coeffs[k]
+    return out
+
+
+def biquad2tf(b, a, nfft: int):
+    """Cascade of biquads -> transfer function (reference functional.py:141-161).
+
+    b, a: (3, n_sections).  Returns (nfft//2+1,)."""
+    b = jnp.asarray(b)
+    a = jnp.asarray(a)
+    if b.ndim < 2:
+        b = b[:, None]
+    if a.ndim < 2:
+        a = a[:, None]
+    B = poly_response(b, nfft)
+    A = poly_response(a, nfft)
+    return jnp.prod(B, axis=1) / jnp.prod(A, axis=1)
+
+
+def sosfreqz(sos, nfft: int = 512):
+    """Frequency response of cascaded SOS (reference functional.py:807-824).
+
+    sos: (n_sections, 6).  Returns (nfft//2+1,)."""
+    sos = jnp.asarray(sos)
+    assert sos.shape[-1] == 6
+    B = poly_response(sos[:, :3].T, nfft)  # (M, n_sections)
+    A = poly_response(sos[:, 3:].T, nfft)
+    return jnp.prod(B, axis=-1) / jnp.prod(A, axis=-1)
+
+
+# ----------------------------------------------------------------------
+# signal gallery
+# ----------------------------------------------------------------------
+def signal_gallery(batch_size: int, n_samples: int, n: int,
+                   signal_type: str = "impulse", fs: int = 48000,
+                   rate: float = 1.0, reference=None, key=None,
+                   dtype=jnp.float32):
+    """Test-signal factory (reference functional.py:164-270).
+
+    Returns (batch_size, n_samples, n).  Random types consume an explicit
+    ``key`` (or the global stream via :func:`flamo_tpu.utils.next_key`).
+    """
+    types = {"impulse", "sine", "sweep", "wgn", "exp", "reference", "noise",
+             "velvet"}
+    if signal_type not in types:
+        raise ValueError(f"Signal type {signal_type} not recognized.")
+
+    if signal_type == "impulse":
+        x = jnp.zeros((batch_size, n_samples, n), dtype=dtype)
+        return x.at[:, 0, :].set(1.0)
+    if signal_type == "sine":
+        if rate is not None:
+            t = jnp.linspace(0, n_samples / fs, n_samples, dtype=dtype)
+            s = jnp.sin(2 * jnp.pi * rate / fs * t)
+        else:
+            s = jnp.sin(jnp.linspace(0, 2 * jnp.pi, n_samples, dtype=dtype))
+        return jnp.broadcast_to(s[None, :, None], (batch_size, n_samples, n))
+    if signal_type == "sweep":
+        # linear chirp 20 Hz -> 20 kHz over the full duration
+        t = jnp.linspace(0, n_samples / fs - 1 / fs, n_samples, dtype=dtype)
+        t1 = t[-1]
+        f0, f1 = 20.0, 20000.0
+        phase = 2 * jnp.pi * (f0 * t + (f1 - f0) / (2 * t1) * t * t)
+        x = jnp.cos(phase)
+        return jnp.broadcast_to(x[None, :, None], (batch_size, n_samples, n))
+    if signal_type in ("wgn", "noise"):
+        return jax.random.normal(next_key(key), (batch_size, n_samples, n),
+                                 dtype=dtype)
+    if signal_type == "exp":
+        x = jnp.exp(-rate * jnp.arange(n_samples, dtype=dtype) / fs)
+        return jnp.broadcast_to(x[None, :, None], (batch_size, n_samples, n))
+    if signal_type == "velvet":
+        key = next_key(key)
+        keys = jax.random.split(key, batch_size * n)
+        seqs = [gen_velvet_noise(n_samples, fs, rate, key=k, dtype=dtype)
+                for k in keys]
+        x = jnp.stack(seqs).reshape(batch_size, n, n_samples)
+        return jnp.transpose(x, (0, 2, 1))
+    if signal_type == "reference":
+        ref = jnp.asarray(reference, dtype=dtype)
+        return jnp.broadcast_to(ref, (batch_size, n_samples, n))
+
+
+def gen_velvet_noise(n_samples: int, fs: int, density: float, key=None,
+                     dtype=jnp.float32):
+    """Single velvet-noise sequence (reference functional.py:273-304)."""
+    key = next_key(key)
+    Td = fs / density
+    floor_impulses = math.floor(n_samples / Td)
+    k1, k2 = jax.random.split(key)
+    grid = jnp.arange(floor_impulses, dtype=dtype) * Td
+    jitter = jax.random.uniform(k1, (floor_impulses,), dtype=dtype)
+    idx = jnp.ceil(grid + jitter * (Td - 1)).astype(jnp.int32)
+    idx = idx.at[0].set(0)
+    idx = jnp.clip(idx, 0, n_samples - 1)
+    signs = 2 * jax.random.randint(k2, (floor_impulses,), 0, 2) - 1
+    seq = jnp.zeros(n_samples, dtype=dtype)
+    return seq.at[idx].set(signs.astype(dtype))
+
+
+# ----------------------------------------------------------------------
+# unit conversions
+# ----------------------------------------------------------------------
+def hertz2rad(hertz, fs: int):
+    """f[Hz] -> omega[rad/sample] (reference functional.py:306-319)."""
+    return jnp.asarray(hertz) / fs * 2 * jnp.pi
+
+
+def rad2hertz(rad, fs: int):
+    """omega[rad/sample] -> f[Hz] (reference functional.py:322-335)."""
+    return jnp.asarray(rad) * fs / (2 * jnp.pi)
+
+
+def db2mag(dB):
+    return 10 ** (jnp.asarray(dB) / 20)
+
+
+def mag2db(mag):
+    return 20 * jnp.log10(jnp.abs(jnp.asarray(mag)))
+
+
+# ----------------------------------------------------------------------
+# RBJ-cookbook biquad coefficient galleries (reference functional.py:376-675)
+# All vectorized over arbitrary fc shapes; return (3, *fc.shape).
+# ----------------------------------------------------------------------
+def lowpass_filter(fc=500.0, gain=0.0, fs: int = 48000, dtype=jnp.float32):
+    """RBJ lowpass (reference functional.py:376-428)."""
+    omegaC = hertz2rad(jnp.asarray(fc, dtype=dtype), fs)
+    alpha = jnp.sin(omegaC) / 2 * jnp.sqrt(jnp.asarray(2.0, dtype=dtype))
+    cosOC = jnp.cos(omegaC)
+    b = jnp.stack([(1 - cosOC) / 2, 1 - cosOC, (1 - cosOC) / 2])
+    a = jnp.stack([1 + alpha, -2 * cosOC, 1 - alpha])
+    return 10 ** (jnp.asarray(gain, dtype=dtype) / 20) * b, a
+
+
+def highpass_filter(fc=10000.0, gain=0.0, fs: int = 48000, dtype=jnp.float32):
+    """RBJ highpass (reference functional.py:431-482)."""
+    omegaC = hertz2rad(jnp.asarray(fc, dtype=dtype), fs)
+    alpha = jnp.sin(omegaC) / 2 * jnp.sqrt(jnp.asarray(2.0, dtype=dtype))
+    cosOC = jnp.cos(omegaC)
+    b = jnp.stack([(1 + cosOC) / 2, -(1 + cosOC), (1 + cosOC) / 2])
+    a = jnp.stack([1 + alpha, -2 * cosOC, 1 - alpha])
+    return 10 ** (jnp.asarray(gain, dtype=dtype) / 20) * b, a
+
+
+def bandpass_filter(fc1, fc2, gain=0.0, fs: int = 48000, dtype=jnp.float32):
+    """RBJ bandpass (reference functional.py:485-552)."""
+    fc1 = jnp.asarray(fc1, dtype=dtype)
+    fc2 = jnp.asarray(fc2, dtype=dtype)
+    omegaC = (hertz2rad(fc1, fs) + hertz2rad(fc2, fs)) / 2
+    BW = jnp.log2(fc2 / fc1)
+    two = jnp.asarray(2.0, dtype=dtype)
+    alpha = jnp.sin(omegaC) * jnp.sinh(
+        jnp.log(two) / two * BW * (omegaC / jnp.sin(omegaC))
+    )
+    cosOC = jnp.cos(omegaC)
+    b = jnp.stack([alpha, jnp.zeros_like(alpha), -alpha])
+    a = jnp.stack([1 + alpha, -2 * cosOC, 1 - alpha])
+    return 10 ** (jnp.asarray(gain, dtype=dtype) / 20) * b, a
+
+
+def shelving_filter(fc, gain, type: str = "low", fs: int = 48000,
+                    dtype=jnp.float32):
+    """Second-order shelving filter, linear gain (reference functional.py:555-622)."""
+    fc = jnp.asarray(fc, dtype=dtype)
+    gain = jnp.asarray(gain, dtype=dtype)
+    omegaC = hertz2rad(fc, fs)
+    t = jnp.tan(omegaC / 2)
+    t2 = t ** 2
+    g2 = gain ** 0.5
+    g4 = gain ** 0.25
+    sqrt2 = jnp.sqrt(jnp.asarray(2.0, dtype=dtype))
+    b = jnp.stack([
+        g2 * t2 + sqrt2 * t * g4 + 1,
+        2 * g2 * t2 - 2,
+        g2 * t2 - sqrt2 * t * g4 + 1,
+    ])
+    a = jnp.stack([
+        g2 + sqrt2 * t * g4 + t2,
+        2 * t2 - 2 * g2,
+        g2 - sqrt2 * t * g4 + t2,
+    ])
+    b = g2 * b
+    if type == "high":
+        b, a = a * gain, b
+    return b, a
+
+
+def peak_filter(fc, gain, Q, fs: int = 48000, dtype=jnp.float32):
+    """Second-order peak filter, linear gain (reference functional.py:625-675)."""
+    fc = jnp.asarray(fc, dtype=dtype)
+    gain = jnp.asarray(gain, dtype=dtype)
+    Q = jnp.asarray(Q, dtype=dtype)
+    omegaC = hertz2rad(fc, fs)
+    t = jnp.tan(omegaC / Q / 2)
+    sg = jnp.sqrt(gain)
+    b = jnp.stack([sg + gain * t, -2 * sg * jnp.cos(omegaC), sg - gain * t])
+    a = jnp.stack([sg + t, -2 * sg * jnp.cos(omegaC), sg - t])
+    return b, a
+
+
+def prop_shelving_filter(fc, gain, type: str = "low", fs: int = 48000,
+                         dtype=jnp.float32):
+    """Jot proportional first-order shelving, gain in dB
+    (reference functional.py:678-745)."""
+    fc = jnp.asarray(fc, dtype=dtype)
+    gain = jnp.asarray(gain, dtype=dtype)
+    t = jnp.tan(jnp.pi * fc / fs)
+    k = 10 ** (gain / 20)
+    if type == "low":
+        b = jnp.stack([t * jnp.sqrt(k) + 1, t * jnp.sqrt(k) - 1])
+        a = jnp.stack([t / jnp.sqrt(k) + 1, t / jnp.sqrt(k) - 1])
+    elif type == "high":
+        k = 1 / k
+        b = jnp.stack([(t * jnp.sqrt(k) + 1) / k, (t * jnp.sqrt(k) - 1) / k])
+        a = jnp.stack([t / jnp.sqrt(k) + 1, t / jnp.sqrt(k) - 1])
+    else:
+        raise ValueError("type must be 'low' or 'high'")
+    return b, a
+
+
+def prop_peak_filter(fc, bw, gain, fs: int = 48000, dtype=jnp.float32):
+    """Jot proportional presence/peak filter, gain in dB
+    (reference functional.py:748-804)."""
+    fc = jnp.asarray(fc, dtype=dtype)
+    bw = jnp.asarray(bw, dtype=dtype)
+    gain = jnp.asarray(gain, dtype=dtype)
+    t = jnp.tan(jnp.pi * bw / fs)
+    c = jnp.cos(2 * jnp.pi * fc / fs)
+    k = 10 ** (gain / 20)
+    sk = jnp.sqrt(k)
+    b = jnp.stack([1 + sk * t, -2 * c, 1 - sk * t])
+    a = jnp.stack([1 + t / sk, -2 * c, 1 - t / sk])
+    return b, a
+
+
+def svf(fc, R, m=None, G=None, filter_type: str = None, fs: int = 48000,
+        dtype=jnp.float32):
+    """Functional state-variable-filter coefficients
+    (reference functional.py:827-930).  Returns (b, a), each (3, *fc.shape)."""
+    fc = jnp.asarray(fc, dtype=dtype)
+    R = jnp.asarray(R, dtype=dtype)
+    f = jnp.tan(jnp.pi * fc / fs)
+    if G is None:
+        G = jnp.ones_like(f)
+    G = jnp.asarray(G, dtype=dtype)
+    ones, zeros = jnp.ones_like(G), jnp.zeros_like(G)
+    if filter_type == "lowpass":
+        mix = (ones, zeros, zeros)
+    elif filter_type == "highpass":
+        mix = (zeros, zeros, ones)
+    elif filter_type == "bandpass":
+        mix = (zeros, ones, zeros)
+    elif filter_type == "lowshelf":
+        mix = (ones, 2 * R * jnp.sqrt(G), G)
+    elif filter_type == "highshelf":
+        mix = (G, 2 * R * jnp.sqrt(G), ones)
+    elif filter_type in ("peaking", "notch"):
+        mix = (ones, 2 * R * jnp.sqrt(G), ones)
+    elif filter_type is None:
+        m = jnp.asarray(m, dtype=dtype)
+        mix = (m[..., 0], m[..., 1], m[..., 2])
+    else:
+        raise ValueError(f"unknown filter_type {filter_type}")
+    mLP, mBP, mHP = mix
+    b = jnp.stack([
+        f**2 * mLP + f * mBP + mHP,
+        2 * f**2 * mLP - 2 * mHP,
+        f**2 * mLP - f * mBP + mHP,
+    ])
+    a = jnp.stack([f**2 + 2 * R * f + 1, 2 * f**2 - 2, f**2 - 2 * R * f + 1])
+    return b, a
+
+
+def probe_sos(sos, control_freqs, nfft: int, fs: int, dtype=jnp.float32):
+    """Probe magnitude response of a cascaded SOS at control frequencies
+    (reference functional.py:933-979).
+
+    sos: (6, n_bands).  Returns (G, H, W): gains in dB at control freqs
+    (n_ctrl, n_bands), full responses (M, n_bands), phases (M, n_bands).
+    Vectorized over bands (the reference loops in Python)."""
+    sos = jnp.asarray(sos, dtype=dtype)
+    control_freqs = jnp.asarray(control_freqs, dtype=dtype)
+    sos = sos / sos[3:4, :]
+    B = poly_response(sos[:3], nfft)     # (M, n_bands)
+    A = poly_response(sos[3:], nfft)
+    H = B / (A + 1e-10)
+    f = jnp.fft.rfftfreq(nfft, 1.0 / fs).astype(dtype)
+    mag_db = 20 * jnp.log10(jnp.abs(H))
+    G = jax.vmap(lambda col: RegularGridInterpolator([f], col)([control_freqs]),
+                 in_axes=1, out_axes=1)(mag_db)
+    W = jnp.broadcast_to((2 * jnp.pi * f / fs)[:, None], H.shape)
+    return G, H, W
+
+
+def find_onset(rir):
+    """RIR onset via windowed local-energy maximum (reference functional.py:982-1023)."""
+    rir = jnp.asarray(rir)
+    win_len = 64
+    overlap = 0.75
+    win = jnp.hanning(win_len + 1)[:win_len].astype(rir.dtype)
+    # reference uses torch.hann_window (periodic); jnp.hanning is symmetric
+    win = 0.5 * (1 - jnp.cos(2 * jnp.pi * jnp.arange(win_len) / win_len))
+    pad = int(win_len * overlap)
+    x = jnp.pad(rir, (pad, pad))
+    hop = 1 - overlap
+    n_wins = int(np.floor(x.shape[0] / (win_len * hop) - 1 / 2 / hop))
+    hop_len = int(win_len * hop)
+    idx = jnp.arange(win_len)[None, :] + hop_len * jnp.arange(0, n_wins - 2)[:, None]
+    frames = x[idx]
+    local_energy = jnp.sum(frames**2 * win[None, :], axis=1)
+    n_win_discard = int((overlap / hop) - (1 / 2 / hop))
+    local_energy = local_energy[n_win_discard:]
+    return int(win_len * hop * (int(jnp.argmax(local_energy)) - 1))
+
+
+def WGN_reverb(matrix_size: tuple = (1, 1), t60: float = 1.0,
+               samplerate: int = 48000, key=None, dtype=jnp.float32):
+    """Exponentially-decaying white-noise IR matrix, bandpassed 20 Hz-20 kHz,
+    column-normalized (reference functional.py:1026-1074)."""
+    key = next_key(key)
+    n_samples = int(1.5 * t60 * samplerate)
+    noise = jax.random.normal(key, (n_samples, *matrix_size), dtype=dtype)
+    dr = t60 / math.log(1000.0)
+    decay = jnp.exp(-1 / dr * jnp.linspace(0, t60, n_samples, dtype=dtype))
+    IRs = noise * decay.reshape(-1, *([1] * len(matrix_size)))
+    TFs = jnp.fft.rfft(IRs, n=n_samples, axis=0)
+    b, a = bandpass_filter(jnp.asarray([20.0]), jnp.asarray([20000.0]),
+                           jnp.asarray([1.0]), fs=samplerate, dtype=dtype)
+    sos = jnp.concatenate([b.reshape(1, 3), a.reshape(1, 3)], axis=1)
+    bp_H = sosfreqz(sos=sos, nfft=n_samples).squeeze()
+    bp_H = bp_H.reshape(-1, *([1] * len(matrix_size)))
+    IRs = jnp.fft.irfft(TFs * bp_H, n=n_samples, axis=0)
+    norms = jnp.linalg.norm(IRs, ord=2, axis=0)
+    return IRs / norms

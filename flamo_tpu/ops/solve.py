@@ -1,0 +1,95 @@
+"""Per-bin closed-loop solve kernels.
+
+The hottest op in the framework (SURVEY.md §3.3): for every frequency bin m
+solve ``(I - F(m) B(m)) y = rhs(m)`` with tiny N (FDN channel counts, N<=32)
+and huge bin batch (M = nfft//2+1 ~ 48001).
+
+``jnp.linalg.solve`` lowers to batched LU on TPU, which is correct but pays
+LAPACK-shaped overhead per tiny matrix.  :func:`gauss_solve` instead unrolls
+Gaussian elimination with partial pivoting over the *static* dimension N and
+vectorizes every scalar operation over the bin axis — XLA fuses the whole
+elimination into a handful of VPU kernels.  Complex arithmetic stays native
+(complex64).
+
+Reference semantics: torch.linalg.solve at flamo/processor/system.py:425.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def gauss_solve(A: jax.Array, B: jax.Array) -> jax.Array:
+    """Solve ``A x = B`` for small trailing dims, batched over leading dims.
+
+    A: (..., N, N); B: (..., N) or (..., N, K).  Unrolled Gaussian
+    elimination with partial pivoting; all per-bin scalars are vectors over
+    the batch, so the unrolled program is pure elementwise math that XLA
+    fuses.  Matches ``jnp.linalg.solve`` to ~1e-6 for well-conditioned
+    closed-loop matrices.
+    """
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    N = A.shape[-1]
+    vector_rhs = B.ndim == A.ndim - 1
+    if vector_rhs:
+        B = B[..., None]
+    if N == 1:
+        x = B / A[..., 0:1, :]
+        return x[..., 0] if vector_rhs else x
+
+    # augmented system columns: work on lists of (..., K) row slices
+    # rows[i] has shape (..., N) for A part and (..., K) for B part
+    arows = [A[..., i, :] for i in range(N)]
+    brows = [B[..., i, :] for i in range(N)]
+
+    for k in range(N):
+        # partial pivoting: pick the row (k..N-1) with max |A[i, k]|
+        mags = jnp.stack([jnp.abs(arows[i][..., k]) for i in range(k, N)], axis=-1)
+        piv = jnp.argmax(mags, axis=-1)  # (...) int in [0, N-k)
+        # gather pivot row (vectorized select over the small candidate set)
+        def select(rows):
+            stacked = jnp.stack(rows[k:], axis=-1)  # (..., C, N-k)
+            return jnp.take_along_axis(
+                stacked, piv[..., None, None], axis=-1
+            )[..., 0]
+
+        pa = select(arows)  # (..., N)
+        pb = select(brows)  # (..., K)
+        # swap: rows i (i>=k) that equal the pivot index receive old row k
+        for i in range(k, N):
+            is_piv = (piv == (i - k))[..., None]
+            arows[i] = jnp.where(is_piv, arows[k], arows[i])
+            brows[i] = jnp.where(is_piv, brows[k], brows[i])
+        arows[k], brows[k] = pa, pb
+
+        inv_pivot = 1.0 / arows[k][..., k]
+        for i in range(k + 1, N):
+            factor = (arows[i][..., k] * inv_pivot)[..., None]
+            arows[i] = arows[i] - factor * arows[k]
+            brows[i] = brows[i] - factor * brows[k]
+
+    # back substitution
+    xrows: list = [None] * N
+    for i in range(N - 1, -1, -1):
+        acc = brows[i]
+        for j in range(i + 1, N):
+            acc = acc - arows[i][..., j][..., None] * xrows[j]
+        xrows[i] = acc / arows[i][..., i][..., None]
+
+    x = jnp.stack(xrows, axis=-2)  # (..., N, K)
+    return x[..., 0] if vector_rhs else x
+
+
+def closed_loop_solve(A: jax.Array, B: jax.Array, method: str = "ge") -> jax.Array:
+    """Dispatch for the Recursion solve.
+
+    method: 'ge' (unrolled elimination, default — fastest for N<=32 on TPU)
+    or 'lu' (``jnp.linalg.solve``).
+    """
+    if method == "lu" or A.shape[-1] > 32:
+        if B.ndim == A.ndim - 1:
+            return jnp.linalg.solve(A, B[..., None])[..., 0]
+        return jnp.linalg.solve(A, B)
+    return gauss_solve(A, B)

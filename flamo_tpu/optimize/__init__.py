@@ -1,0 +1,6 @@
+from flamo_tpu.optimize.dataset import (
+    Dataset, DatasetColorless, get_dataloader, load_dataset, split_dataset,
+)
+from flamo_tpu.optimize.trainer import Trainer
+from flamo_tpu.optimize import loss
+from flamo_tpu.optimize.utils import generate_partitions

@@ -1,0 +1,274 @@
+"""Trainer (counterpart of reference flamo/optimize/trainer.py).
+
+Same control surface as the reference — Adam + StepLR-equivalent schedule,
+weighted multi-criterion with ``requires_model``, per-epoch checkpointing and
+early stopping — but the whole train step (forward through the jitted model
+graph, all losses, backward, masked Adam update) compiles to ONE XLA program.
+Non-trainable parameters (``requires_grad=False`` modules) are frozen by
+zeroing their gradients through :func:`flamo_tpu.core.trainable_mask`.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from flamo_tpu.core import trainable_mask
+
+
+def _mask_grads(grads, mask):
+    return jax.tree_util.tree_map(
+        lambda g, m: g if m else jnp.zeros_like(g), grads, mask)
+
+
+class Trainer:
+    """Training driver for differentiable frequency-domain systems
+    (reference trainer.py:9-313).
+
+    Arguments mirror the reference: net, max_epochs, lr, patience,
+    patience_delta, step_size, step_factor, log, train_dir.
+    """
+
+    def __init__(self, net, max_epochs: int = 10, lr: float = 1e-3,
+                 patience: int = 5, patience_delta: float = 0.01,
+                 step_size: int = 50, step_factor: float = 0.1,
+                 log: bool = True, train_dir: Optional[str] = None,
+                 device: Optional[str] = None, **kwargs):
+        self.net = net
+        self.max_epochs = max_epochs
+        self.lr = lr
+        self.patience = patience
+        self.patience_delta = patience_delta
+        self.step_size = step_size
+        self.step_factor = step_factor
+        self.min_val_loss = float("inf")
+        self.counter = 0
+        self.log = log
+        if self.log:
+            assert train_dir is not None and os.path.isdir(train_dir), (
+                "The directory specified in train_dir does not exist."
+            )
+        self.train_dir = train_dir
+        self.n_loss = 0
+        self.criterion, self.alpha, self.requires_model = [], [], []
+        self._jitted_step = None
+        self._jitted_valid = None
+        self._opt_state = None
+        self._step_count = 0
+
+    # ------------------------------------------------------------------
+    def register_criterion(self, criterion, alpha: float = 1,
+                           requires_model: bool = False):
+        """Register a loss with weight ``alpha`` (reference trainer.py:87-101)."""
+        self.criterion.append(criterion)
+        self.alpha.append(alpha)
+        self.requires_model.append(requires_model)
+        self.n_loss += 1
+
+    # ------------------------------------------------------------------
+    def _loss_name(self, criterion):
+        return type(criterion).__name__
+
+    def _total_loss(self, model, inputs, targets, step, loss_state):
+        est = model(inputs)
+        total = 0.0
+        per_loss = []
+        si = 0
+        for alpha, criterion, requires_model in zip(
+                self.alpha, self.criterion, self.requires_model):
+            args = [est, targets]
+            kwargs = {}
+            if requires_model:
+                args.append(model)
+            if getattr(criterion, "stateful", False):
+                kwargs["step"] = step
+                kwargs["state"] = loss_state[si]
+                si += 1
+            value = criterion(*args, **kwargs)
+            per_loss.append(value)
+            total = total + alpha * value
+        return total, per_loss
+
+    def _gather_loss_state(self):
+        """Collect stateful-loss arrays (e.g. mask partitions) so they enter
+        the jitted step as traced arguments, not baked constants."""
+        return tuple(c.mask_indices for c in self.criterion
+                     if getattr(c, "stateful", False))
+
+    def _build_step(self, steps_per_epoch: int):
+        schedule = optax.exponential_decay(
+            init_value=self.lr,
+            transition_steps=self.step_size * max(1, steps_per_epoch),
+            decay_rate=self.step_factor,
+            staircase=True,
+        )
+        self._tx = optax.adam(learning_rate=schedule)
+        mask = trainable_mask(self.net)
+        self._mask = mask
+        self._opt_state = self._tx.init(self.net)
+
+        def train_step(model, opt_state, inputs, targets, step, loss_state):
+            def loss_fn(m):
+                total, per = self._total_loss(m, inputs, targets, step,
+                                              loss_state)
+                return total, per
+
+            (total, per), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(model)
+            grads = _mask_grads(grads, mask)
+            updates, opt_state = self._tx.update(grads, opt_state, model)
+            model = optax.apply_updates(model, updates)
+            return model, opt_state, total, per
+
+        def valid_step(model, inputs, targets, step, loss_state):
+            return self._total_loss(model, inputs, targets, step, loss_state)
+
+        self._jitted_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._jitted_valid = jax.jit(valid_step)
+
+    # ------------------------------------------------------------------
+    def train(self, train_dataset, valid_dataset):
+        """Epoch loop (reference trainer.py:103-153)."""
+        self.train_loss, self.valid_loss = [], []
+        self.train_loss_log = {self._loss_name(c): [] for c in self.criterion}
+        self.valid_loss_log = {self._loss_name(c): [] for c in self.criterion}
+
+        steps_per_epoch = max(1, len(train_dataset))
+        if self._jitted_step is None:
+            self._build_step(steps_per_epoch)
+
+        st = time.time()
+        for epoch in range(self.max_epochs):
+            st_epoch = time.time()
+            epoch_loss = 0.0
+            n_steps = 0
+            for inputs, targets in train_dataset:
+                epoch_loss += self.train_step((inputs, targets))
+                n_steps += 1
+            self.train_loss.append(epoch_loss / max(1, n_steps))
+
+            epoch_loss = 0.0
+            n_steps = 0
+            for inputs, targets in valid_dataset:
+                epoch_loss += self.valid_step((inputs, targets))
+                n_steps += 1
+            self.valid_loss.append(epoch_loss / max(1, n_steps))
+            et_epoch = time.time()
+
+            self.print_results(epoch, et_epoch - st_epoch)
+            if self.log:
+                self.save_model(epoch)
+            if self.early_stop():
+                print(f"Early stopping at epoch: {epoch}")
+                break
+        et = time.time()
+        print("Training time: {:.3f}s".format(et - st))
+
+    # ------------------------------------------------------------------
+    def train_step(self, data):
+        """One optimization step (reference trainer.py:162-192)."""
+        inputs, targets = data
+        if self._jitted_step is None:
+            self._build_step(1)
+        for c in self.criterion:
+            if hasattr(c, "pre_step"):
+                c.pre_step()
+        model, opt_state, total, per = self._jitted_step(
+            self.net, self._opt_state, inputs, targets,
+            jnp.asarray(self._step_count), self._gather_loss_state())
+        self.net = model
+        self._opt_state = opt_state
+        self._step_count += 1
+        for criterion, value in zip(self.criterion, per):
+            self.train_loss_log.setdefault(
+                self._loss_name(criterion), []).append(float(value))
+        return float(total)
+
+    def valid_step(self, data):
+        """One validation step (no grad) (reference trainer.py:194-224)."""
+        inputs, targets = data
+        if self._jitted_valid is None:
+            self._build_step(1)
+        total, per = self._jitted_valid(
+            self.net, inputs, targets, jnp.asarray(self._step_count),
+            self._gather_loss_state())
+        for criterion, value in zip(self.criterion, per):
+            self.valid_loss_log.setdefault(
+                self._loss_name(criterion), []).append(float(value))
+        return float(total)
+
+    # ------------------------------------------------------------------
+    def print_results(self, e: int, e_time: float):
+        print(get_str_results(epoch=e, train_loss=self.train_loss,
+                              valid_loss=self.valid_loss, time=e_time))
+
+    def get_train_dir(self):
+        if self.train_dir is not None:
+            if not os.path.isdir(self.train_dir):
+                os.makedirs(self.train_dir)
+        else:
+            self.train_dir = os.path.join("output",
+                                          time.strftime("%Y%m%d-%H%M%S"))
+            os.makedirs(self.train_dir)
+
+    def save_model(self, e: int):
+        """Checkpoint the model pytree leaves (reference trainer.py:246-260).
+
+        Format: pickle of numpy leaves — restore with
+        :func:`load_model_state` into a structurally identical model."""
+        dir_path = os.path.join(self.train_dir, "checkpoints")
+        os.makedirs(dir_path, exist_ok=True)
+        save_model_state(self.net, os.path.join(dir_path, f"model_e{e}.pkl"))
+
+    def early_stop(self):
+        """Early stopping on validation plateau (reference trainer.py:262-277)."""
+        if self.valid_loss[-1] < (self.min_val_loss - self.patience_delta):
+            self.min_val_loss = self.valid_loss[-1]
+            self.counter = 0
+        elif ((self.min_val_loss - self.patience_delta) < self.valid_loss[-1]
+              and self.valid_loss[-1] < (self.min_val_loss
+                                         + self.patience_delta)):
+            self.counter += 1
+            if self.counter >= self.patience:
+                return True
+        return False
+
+
+def save_model_state(model, path: str):
+    leaves = [np.asarray(x) if x is not None else None
+              for x in jax.tree_util.tree_leaves(model)]
+    with open(path, "wb") as f:
+        pickle.dump(leaves, f)
+
+
+def load_model_state(model, path: str):
+    """Restore checkpointed leaves into a structurally identical model.
+
+    The reference has no resume path at all (SURVEY.md §5); this provides
+    one."""
+    with open(path, "rb") as f:
+        leaves = pickle.load(f)
+    treedef = jax.tree_util.tree_structure(model)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(x) if x is not None else None for x in leaves])
+
+
+def get_str_results(epoch=None, train_loss=None, valid_loss=None, time=None):
+    """Format per-epoch results (reference trainer.py:280-313)."""
+    to_print = ""
+    if epoch is not None:
+        to_print += "epoch: {:3d} ".format(epoch)
+    if train_loss is not None:
+        to_print += "- train_loss: {:6.4f} ".format(train_loss[-1])
+    if valid_loss is not None:
+        to_print += "- test_loss: {:6.4f} ".format(valid_loss[-1])
+    if time is not None:
+        to_print += "- time: {:6.4f} s".format(time)
+    return to_print

@@ -1,0 +1,4 @@
+from flamo_tpu.parallel.mesh import (
+    get_mesh, shard_spectrum, replicate, bin_sharded_forward,
+)
+from flamo_tpu.parallel.ensemble import MultiSeedEnsemble

@@ -1,0 +1,155 @@
+"""Small utilities (counterpart of reference flamo/utils.py).
+
+TPU notes: there is no device string threading here — arrays live where jit
+puts them.  Randomness is explicit ``jax.random`` keys; :func:`set_seed` /
+:func:`next_key` provide a torch-``manual_seed``-like convenience on top.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from flamo_tpu.core import complex_dtype_for
+
+# ----------------------------------------------------------------------
+# randomness: explicit keys with a seeded global fallback
+# ----------------------------------------------------------------------
+_GLOBAL_KEY = [jax.random.PRNGKey(0)]
+
+
+def set_seed(seed: int) -> None:
+    """Seed the global key stream (UX counterpart of ``torch.manual_seed``)."""
+    _GLOBAL_KEY[0] = jax.random.PRNGKey(int(seed))
+
+
+def next_key(key=None) -> jax.Array:
+    """Return ``key`` if given, else split one off the global stream."""
+    if key is not None:
+        return key
+    _GLOBAL_KEY[0], sub = jax.random.split(_GLOBAL_KEY[0])
+    return sub
+
+
+def enable_x64(enable: bool = True) -> None:
+    """Opt into float64 (the reference examples default to float64 on CPU;
+    TPU is float32-native so x64 runs on the CPU backend of each op)."""
+    jax.config.update("jax_enable_x64", bool(enable))
+
+
+# ----------------------------------------------------------------------
+# dtype / complex helpers
+# ----------------------------------------------------------------------
+def to_complex(x: jax.Array) -> jax.Array:
+    """Real -> complex with zero imaginary part (reference flamo/utils.py:12-22)."""
+    x = jnp.asarray(x)
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        return x
+    return x.astype(complex_dtype_for(x.dtype))
+
+
+def get_frequency_samples(num: int, rho: float = 1.0, dtype=jnp.float32) -> jax.Array:
+    """Points on the circle of radius ``rho``, angles in [0, pi]
+    (reference flamo/utils.py:33-49; rho>1 probes outside the unit circle
+    for alias-aware analysis)."""
+    angle = jnp.linspace(0.0, 1.0, num, dtype=dtype)
+    return rho * jnp.exp(1j * angle * jnp.pi)
+
+
+# ----------------------------------------------------------------------
+# audio IO (soundfile is not available in this image; WAV via scipy)
+# ----------------------------------------------------------------------
+def save_audio(filepath: str, x, fs: int = 48000, subtype: str = "PCM_24") -> None:
+    """Write a WAV file (reference flamo/utils.py:25-30).
+
+    ``subtype`` 'PCM_16'/'PCM_24'/'PCM_32' map to integer widths; 'FLOAT'
+    writes float32 samples.
+    """
+    from scipy.io import wavfile
+
+    folder = os.path.dirname(filepath)
+    if folder and not os.path.exists(folder):
+        os.makedirs(folder)
+    x = np.asarray(x)
+    if subtype == "FLOAT":
+        data = x.astype(np.float32)
+    else:
+        bits = {"PCM_16": 16, "PCM_24": 24, "PCM_32": 32}.get(subtype, 24)
+        peak = np.max(np.abs(x)) if x.size else 1.0
+        if peak > 1.0:
+            x = x / peak
+        if bits == 16:
+            data = (x * (2**15 - 1)).astype(np.int16)
+        else:  # 24-bit payload stored in int32 container
+            data = (x * (2**31 - 1)).astype(np.int32)
+    wavfile.write(filepath, int(fs), data)
+
+
+def load_audio(filepath: str):
+    """Read a WAV file -> (float32 array in [-1,1] of shape (T, C), fs)."""
+    from scipy.io import wavfile
+
+    fs, data = wavfile.read(filepath)
+    if data.dtype == np.int16:
+        data = data.astype(np.float32) / 2**15
+    elif data.dtype == np.int32:
+        data = data.astype(np.float32) / 2**31
+    elif data.dtype == np.uint8:
+        data = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        data = data.astype(np.float32)
+    if data.ndim == 1:
+        data = data[:, None]
+    return data, fs
+
+
+# ----------------------------------------------------------------------
+# differentiable regular-grid interpolation (reference flamo/utils.py:51-121)
+# ----------------------------------------------------------------------
+class RegularGridInterpolator:
+    """Multilinear interpolation on a regular grid, differentiable in values.
+
+    Same semantics as the reference implementation (bucketize + corner
+    blending); points are 1-D grids per dimension.
+    """
+
+    def __init__(self, points, values):
+        assert isinstance(points, (tuple, list))
+        self.points = [jnp.asarray(p) for p in points]
+        self.values = jnp.asarray(values)
+        self.n = len(self.points)
+        assert self.values.ndim == self.n
+        for i, p in enumerate(self.points):
+            assert p.shape[0] == self.values.shape[i]
+
+    def __call__(self, points_to_interp):
+        assert len(points_to_interp) == self.n
+        xs = [jnp.asarray(x) for x in points_to_interp]
+        idxs, dists, overalls = [], [], []
+        for p, x in zip(self.points, xs):
+            idx_right = jnp.searchsorted(p, x, side="right")
+            idx_right = jnp.clip(idx_right, 0, p.shape[0] - 1)
+            idx_left = jnp.clip(idx_right - 1, 0, p.shape[0] - 1)
+            dist_left = jnp.maximum(x - p[idx_left], 0.0)
+            dist_right = jnp.maximum(p[idx_right] - x, 0.0)
+            both_zero = (dist_left == 0) & (dist_right == 0)
+            dist_left = jnp.where(both_zero, 1.0, dist_left)
+            dist_right = jnp.where(both_zero, 1.0, dist_right)
+            idxs.append((idx_left, idx_right))
+            dists.append((dist_left, dist_right))
+            overalls.append(dist_left + dist_right)
+
+        from itertools import product
+
+        numerator = 0.0
+        for indexer in product([0, 1], repeat=self.n):
+            as_s = tuple(idx[onoff] for onoff, idx in zip(indexer, idxs))
+            bs_s = [dist[1 - onoff] for onoff, dist in zip(indexer, dists)]
+            numerator = numerator + self.values[as_s] * jnp.prod(
+                jnp.stack(bs_s), axis=0
+            )
+        denominator = jnp.prod(jnp.stack(overalls), axis=0)
+        return numerator / denominator

@@ -1,0 +1,198 @@
+"""Unit tests for flamo_tpu.functional against scipy / closed-form oracles
+(SURVEY.md §4 oracle (b): freq-sampled filters vs scipy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.signal as sps
+
+from flamo_tpu import functional as F
+
+
+def test_skew_and_expm_orthogonal():
+    x = jax.random.normal(jax.random.PRNGKey(0), (8, 8))
+    S = F.skew_matrix(x)
+    assert jnp.allclose(S, -S.T, atol=1e-6)
+    U = F.expm(S)
+    err = jnp.abs(U @ U.T - jnp.eye(8)).max()
+    assert err < 1e-5
+    # value check vs scipy
+    import scipy.linalg as sla
+
+    assert np.abs(np.asarray(U) - sla.expm(np.asarray(S))).max() < 1e-5
+
+
+def test_expm_grad():
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 4))
+
+    def f(x):
+        return jnp.sum(jnp.abs(F.expm_skew(x)))
+
+    g = jax.grad(f)(x)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_hadamard():
+    H = F.hadamard_matrix_jnp(8)
+    assert jnp.allclose(H @ H.T, jnp.eye(8), atol=1e-6)
+
+
+def test_rotation_matrix_orthogonal():
+    R = F.rotation_matrix(jnp.asarray(0.3), 4, iters=1)
+    assert R.shape == (4, 4)
+    assert jnp.allclose(R @ R.T, jnp.eye(4), atol=1e-6)
+
+
+def test_poly_response_equals_rfft():
+    nfft = 256
+    coeffs = np.random.randn(3, 2, 5).astype(np.float32)
+    ref = np.fft.rfft(np.concatenate(
+        [coeffs, np.zeros((nfft - 3, 2, 5), np.float32)]), axis=0)
+    out = F.poly_response(jnp.asarray(coeffs), nfft)
+    assert np.abs(np.asarray(out) - ref).max() < 1e-4
+
+
+@pytest.mark.parametrize("fc,design", [(500.0, "lowpass"), (8000.0, "highpass")])
+def test_rbj_filters_vs_scipy(fc, design):
+    fs = 48000
+    if design == "lowpass":
+        b, a = F.lowpass_filter(fc=jnp.asarray(fc), gain=0.0, fs=fs)
+        b_ref, a_ref = sps.iirfilter(2, fc, btype="lowpass", ftype="butter",
+                                     fs=fs)
+    else:
+        b, a = F.highpass_filter(fc=jnp.asarray(fc), gain=0.0, fs=fs)
+        b_ref, a_ref = sps.iirfilter(2, fc, btype="highpass", ftype="butter",
+                                     fs=fs)
+    # RBJ with Q=1/sqrt(2) IS a 2nd-order Butterworth: compare magnitudes
+    w, h_ref = sps.freqz(b_ref, a_ref, worN=128, fs=fs)
+    h = np.asarray(F.biquad2tf(b, a, 256))[:128]
+    w2 = np.fft.rfftfreq(256, 1 / fs)[:128]
+    h_interp = np.interp(w, w2, np.abs(h))
+    assert np.allclose(h_interp, np.abs(h_ref), rtol=0.05, atol=5e-3)
+
+
+def test_bandpass_peak_at_center():
+    fs = 48000
+    b, a = F.bandpass_filter(jnp.asarray(500.0), jnp.asarray(2000.0), 0.0,
+                             fs=fs)
+    H = np.asarray(F.biquad2tf(b, a, 4096))
+    f = np.fft.rfftfreq(4096, 1 / fs)
+    center = np.sqrt(500 * 2000)
+    peak_f = f[np.argmax(np.abs(H))]
+    # RBJ's bandpass centers at the arithmetic-omega mean; allow wide margin
+    assert 500 < peak_f < 2500
+    assert np.abs(H)[np.argmin(np.abs(f - center))] > 0.5
+
+
+def test_shelving_filter_gains():
+    fs = 48000
+    gain = 10 ** (6 / 20)
+    b, a = F.shelving_filter(jnp.asarray(1000.0), jnp.asarray(gain), "low",
+                             fs=fs)
+    H = np.asarray(F.biquad2tf(b, a, 8192))
+    # DC gain ~ g, Nyquist gain ~ 1
+    assert np.abs(np.abs(H[0]) - gain) < 1e-2
+    assert np.abs(np.abs(H[-1]) - 1.0) < 1e-2
+    b, a = F.shelving_filter(jnp.asarray(1000.0), jnp.asarray(gain), "high",
+                             fs=fs)
+    H = np.asarray(F.biquad2tf(b, a, 8192))
+    assert np.abs(np.abs(H[0]) - 1.0) < 1e-2
+    assert np.abs(np.abs(H[-1]) - gain) < 1e-2
+
+
+def test_peak_filter_gain_at_fc():
+    fs = 48000
+    gain = 10 ** (9 / 20)
+    fc = 2000.0
+    b, a = F.peak_filter(jnp.asarray(fc), jnp.asarray(gain),
+                         jnp.asarray(2.0), fs=fs)
+    H = np.asarray(F.biquad2tf(b, a, 1 << 14))
+    f = np.fft.rfftfreq(1 << 14, 1 / fs)
+    idx = np.argmin(np.abs(f - fc))
+    assert np.abs(np.abs(H[idx]) - gain) < 0.05
+    assert np.abs(np.abs(H[0]) - 1.0) < 1e-2
+
+
+def test_prop_shelving_dc_nyquist():
+    fs = 48000
+    b, a = F.prop_shelving_filter(jnp.asarray(1000.0), jnp.asarray(6.0),
+                                  "low", fs=fs)
+    H = np.asarray(F.poly_response(b, 8192) / F.poly_response(a, 8192))
+    assert np.abs(20 * np.log10(np.abs(H[0])) - 6.0) < 0.1
+    assert np.abs(20 * np.log10(np.abs(H[-1]))) < 0.1
+
+
+def test_svf_types_match_biquad_forms():
+    fs = 48000
+    fc = jnp.asarray(1000.0)
+    R = jnp.asarray(1.0 / np.sqrt(2))
+    b, a = F.svf(fc, R, filter_type="lowpass", fs=fs)
+    H = np.asarray(F.biquad2tf(b, a, 8192))
+    # lowpass: unit DC, vanishing Nyquist
+    assert np.abs(np.abs(H[0]) - 1.0) < 1e-3
+    assert np.abs(H[-1]) < 1e-3
+    b, a = F.svf(fc, R, filter_type="highpass", fs=fs)
+    H = np.asarray(F.biquad2tf(b, a, 8192))
+    assert np.abs(H[0]) < 1e-3
+    assert np.abs(np.abs(H[-1]) - 1.0) < 1e-3
+
+
+def test_sosfreqz_vs_scipy():
+    sos = np.random.randn(3, 6).astype(np.float64)
+    sos[:, 3] = 1.0  # a0 = 1
+    H = np.asarray(F.sosfreqz(jnp.asarray(sos), nfft=512))
+    grid = np.fft.rfftfreq(512) * 2 * np.pi  # rfft grid includes pi
+    w, h_ref = sps.sosfreqz(sos, worN=grid)
+    assert np.abs(H - h_ref).max() < 1e-3
+
+
+def test_signal_gallery_shapes_and_types():
+    for t in ["impulse", "sine", "sweep", "exp", "wgn", "velvet"]:
+        x = F.signal_gallery(2, 128, 3, signal_type=t, fs=8000, rate=100.0)
+        assert x.shape == (2, 128, 3), t
+    imp = F.signal_gallery(1, 16, 2, "impulse")
+    assert float(imp[0, 0, 0]) == 1.0 and float(jnp.abs(imp[:, 1:]).max()) == 0.0
+
+
+def test_velvet_noise_properties():
+    x = np.asarray(F.gen_velvet_noise(4800, 48000, 1000.0,
+                                      key=jax.random.PRNGKey(3)))
+    nz = x[x != 0]
+    assert set(np.unique(nz)).issubset({-1.0, 1.0})
+    # ~ density * duration impulses
+    assert 80 <= len(nz) <= 100
+
+
+def test_conversions():
+    assert np.isclose(float(F.db2mag(20.0)), 10.0)
+    assert np.isclose(float(F.mag2db(jnp.asarray(10.0))), 20.0)
+    assert np.isclose(float(F.hertz2rad(jnp.asarray(24000.0), 48000)), np.pi)
+    assert np.isclose(float(F.rad2hertz(jnp.asarray(np.pi), 48000)), 24000.0)
+
+
+def test_get_eigenvalues_host_callback():
+    A = np.random.randn(5, 4, 4).astype(np.float32)
+    ev = np.asarray(F.get_eigenvalues(jnp.asarray(A)))
+    ref = np.linalg.eigvals(A)
+    # eigenvalues unordered: compare sorted by real then imag
+    def s(x):
+        return np.sort_complex(x)
+    for i in range(5):
+        assert np.allclose(s(ev[i]), s(ref[i]), atol=1e-4)
+
+
+def test_wgn_reverb_normalized():
+    ir = F.WGN_reverb((2, 3), t60=0.1, samplerate=48000,
+                      key=jax.random.PRNGKey(1))
+    norms = jnp.linalg.norm(ir, axis=0)
+    assert jnp.allclose(norms, 1.0, atol=1e-4)
+
+
+def test_probe_sos_matches_direct():
+    sos = np.random.randn(6, 2).astype(np.float64)
+    sos[3] = 1.0
+    G, H, W = F.probe_sos(jnp.asarray(sos), jnp.asarray([100.0, 1000.0]),
+                          nfft=1024, fs=48000, dtype=jnp.float64)
+    assert G.shape == (2, 2)
+    assert H.shape == (513, 2)
