@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): prints ONE JSON line
+{"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+
+Primary metric (BASELINE.md): colorless-FDN train steps/sec at nfft=96000
+(N=6, delays 887..2053, alias 30 dB, batch 1) — the e8_colorless_fdn
+workload of the reference.  ``vs_baseline`` compares against a PyTorch-CPU
+implementation of the same mathematical step (independent re-implementation,
+timed on this machine; cached in bench_baseline.json).
+
+Run `python bench.py --all` for the full metric table (also measures
+frequency-response evals/sec).
+"""
+
+import argparse
+import json
+import os
+import time
+
+NFFT = 96000
+DELAYS = (887, 911, 941, 1699, 1951, 2053)
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "bench_baseline.json")
+
+
+def measure_jax_steps_per_sec(n_steps: int = 30):
+    import jax
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.models import build_colorless_fdn, colorless_train_step
+    from flamo_tpu.utils import host_eager
+
+    flamo_tpu.set_seed(130709)
+    with host_eager():  # eager construction on CPU; jit runs on the TPU
+        model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+        step, opt_state = colorless_train_step(model, lr=1e-3)
+        M = NFFT // 2 + 1
+        inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+        targets = jnp.ones((1, M, 1))
+    dev = jax.devices()[0]
+    model, opt_state, inputs, targets = jax.device_put(
+        (model, opt_state, inputs, targets), dev)
+    step = jax.jit(step, donate_argnums=(0, 1))
+
+    # warmup / compile
+    model, opt_state, loss = step(model, opt_state, inputs, targets)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        model, opt_state, loss = step(model, opt_state, inputs, targets)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return n_steps / dt, float(loss)
+
+
+def measure_jax_evals_per_sec(n_evals: int = 20):
+    import jax
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.models import build_colorless_fdn
+    from flamo_tpu.utils import host_eager
+
+    flamo_tpu.set_seed(130709)
+    with host_eager():
+        model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+    model = jax.device_put(model, jax.devices()[0])
+
+    @jax.jit
+    def freq_response(mdl):
+        return mdl.get_freq_response(fs=48000)
+
+    H = freq_response(model)
+    jax.block_until_ready(H)
+    t0 = time.perf_counter()
+    for _ in range(n_evals):
+        H = freq_response(model)
+    jax.block_until_ready(H)
+    return n_evals / (time.perf_counter() - t0)
+
+
+def measure_torch_baseline(n_steps: int = 10):
+    """Same mathematical train step in PyTorch on CPU (the reference's
+    execution model: eager torch, float32) — independent implementation of
+    the e8 colorless-FDN step for timing."""
+    import numpy as np
+    import torch
+
+    torch.manual_seed(130709)
+    N = len(DELAYS)
+    M = NFFT // 2 + 1
+    delays = torch.tensor(DELAYS, dtype=torch.float32)
+    input_gain = torch.randn(N, 1, requires_grad=True)
+    output_gain = torch.randn(1, N, requires_grad=True)
+    W = torch.randn(N, N, requires_grad=True)
+    gamma = 10 ** (-30.0 / NFFT / 20)
+    omega = 2 * torch.pi * torch.arange(M) / NFFT
+    x = torch.zeros(1, M, 1)
+    x[:, 0, :] = 1.0
+    target = torch.ones(1, M, 1)
+    opt = torch.optim.Adam([input_gain, output_gain, W], lr=1e-3)
+
+    def step():
+        opt.zero_grad()
+        X = torch.fft.rfft(x, n=NFFT, dim=1)
+        U = torch.matrix_exp(torch.triu(W, 1) - torch.triu(W, 1).T)
+        D = (gamma ** delays)[None, :] * torch.exp(
+            -1j * omega[:, None] * delays[None, :])
+        # closed loop (I - D U)^(-1) D applied per bin
+        I = torch.eye(N, dtype=torch.complex64).expand(M, N, N)
+        A = I - D[:, :, None] * U[None, :, :].to(torch.complex64)
+        u_in = input_gain.to(torch.complex64) @ X.permute(1, 2, 0)  # (M,N,1)
+        B = D[:, :, None] * u_in
+        y = torch.linalg.solve(A, B)
+        out = (output_gain.to(torch.complex64) @ y).permute(2, 0, 1)
+        est = torch.abs(out)
+        mse = torch.mean((est.sum(-1) - target.squeeze(-1)) ** 2)
+        sp = -(torch.sum(torch.abs(U)) - N * np.sqrt(N)) / (
+            N * (np.sqrt(N) - 1))
+        loss = mse + 0.2 * sp
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    return n_steps / (time.perf_counter() - t0)
+
+
+def get_baseline(refresh: bool = False):
+    if not refresh and os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["torch_cpu_steps_per_sec"]
+    sps = measure_torch_baseline()
+    with open(BASELINE_CACHE, "w") as f:
+        json.dump({"torch_cpu_steps_per_sec": sps,
+                   "workload": "colorless_fdn nfft=96000 N=6"}, f)
+    return sps
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true",
+                    help="print the full metric table")
+    ap.add_argument("--refresh-baseline", action="store_true")
+    ap.add_argument("--steps", type=int, default=30)
+    args = ap.parse_args()
+
+    baseline = get_baseline(refresh=args.refresh_baseline)
+    steps_per_sec, final_loss = measure_jax_steps_per_sec(args.steps)
+    result = {
+        "metric": "colorless_fdn_train_steps_per_sec_nfft96000",
+        "value": round(steps_per_sec, 3),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / baseline, 2),
+    }
+    if args.all:
+        evals = measure_jax_evals_per_sec()
+        extra = {
+            "freq_response_evals_per_sec": round(evals, 3),
+            "torch_cpu_baseline_steps_per_sec": round(baseline, 3),
+            "final_loss": final_loss,
+        }
+        print(json.dumps({**result, **extra}))
+    else:
+        print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

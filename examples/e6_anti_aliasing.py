@@ -1,0 +1,59 @@
+"""Time-aliasing mitigation (reference examples/e6_anti_aliasing.py): the
+same FDN rendered with alias_decay_db 0 vs 30 dB."""
+
+import sys, os
+sys.path.insert(0, os.path.dirname(__file__))
+
+from collections import OrderedDict
+
+import jax.numpy as jnp
+import numpy as np
+
+from _common import example_parser, setup
+
+
+def build(nfft, alias_db, key):
+    import jax
+    from flamo_tpu.processor import dsp, system
+
+    N = 4
+    delays = (179, 211, 233, 251)
+    keys = jax.random.split(key, 2)
+    dl = dsp.parallelDelay(size=(N,), max_len=max(delays) + 1, nfft=nfft,
+                           isint=True, alias_decay_db=alias_db)
+    dl = dl.assign_value(dl.sample2s(jnp.asarray(delays, jnp.float32)))
+    att = dsp.parallelGain(size=(N,), nfft=nfft, alias_decay_db=alias_db)
+    att = att.assign_value(0.9995 ** jnp.asarray(delays, jnp.float32))
+    fb = dsp.Matrix(size=(N, N), nfft=nfft, matrix_type="orthogonal",
+                    alias_decay_db=alias_db, key=keys[0])
+    ig = dsp.Gain(size=(N, 1), nfft=nfft, alias_decay_db=alias_db,
+                  key=keys[1])
+    og = dsp.Gain(size=(1, N), nfft=nfft, alias_decay_db=alias_db,
+                  key=keys[1])
+    loop = system.Recursion(
+        fF=system.Series(OrderedDict({"d": dl, "a": att})), fB=fb)
+    core = system.Series(OrderedDict({"i": ig, "l": loop, "o": og}))
+    return system.Shell(core=core, input_layer=dsp.FFT(nfft),
+                        output_layer=dsp.iFFT(nfft))
+
+
+def main(args):
+    import jax
+
+    nfft = args.nfft
+    key = jax.random.PRNGKey(args.seed)
+    ir0 = np.asarray(build(nfft, 0.0, key).get_time_response())[0, :, 0]
+    ir30 = np.asarray(build(nfft, 30.0, key).get_time_response())[0, :, 0]
+    # the slowly-decaying FDN wraps around at alias 0; the 30 dB envelope
+    # suppresses the wrap-around energy at the start of the frame
+    head = slice(0, 178)  # before the first delayed arrival
+    print("pre-onset energy alias=0 :", float(np.sum(ir0[head] ** 2)))
+    print("pre-onset energy alias=30:", float(np.sum(ir30[head] ** 2)))
+    # first sample must be 0 in both (no direct path)
+    assert np.sum(ir30[head] ** 2) < np.sum(ir0[head] ** 2)
+    print("aliasing reduced by the 30 dB decay envelope")
+
+
+if __name__ == "__main__":
+    args = setup(example_parser(nfft=8192).parse_args())
+    main(args)

@@ -1,0 +1,95 @@
+"""The colorless-FDN flagship workload (reference examples/e8_colorless_fdn.py
+:26-153; arXiv:2402.11216 'Optimizing Tiny Colorless Feedback Delay
+Networks').
+
+This is the BASELINE benchmark model (BASELINE.md): N=6 FDN, delays
+[887, 911, 941, 1699, 1951, 2053], 30 dB alias decay, learnable orthogonal
+feedback, trained so the magnitude response is flat (mse vs ones +
+0.2 * sparsity of the mixing matrix).
+"""
+
+from __future__ import annotations
+
+from collections import OrderedDict
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from flamo_tpu.core import trainable_mask
+from flamo_tpu.processor import dsp, system
+from flamo_tpu.optimize.loss import mse_loss, sparsity_loss
+from flamo_tpu.utils import next_key
+
+DEFAULT_DELAYS = (887, 911, 941, 1699, 1951, 2053)
+
+
+def _abs(x):
+    return jnp.abs(x)
+
+
+def build_colorless_fdn(nfft: int = 96000, delays=DEFAULT_DELAYS,
+                        alias_decay_db: float = 30.0, dtype=jnp.float32,
+                        key=None) -> system.Shell:
+    """Shell(FFT -> [Gain, Recursion(parallelDelay, orthogonal Matrix),
+    Gain] -> abs) (reference e8_colorless_fdn.py:33-106)."""
+    N = len(delays)
+    key = next_key(key)
+    keys = jax.random.split(key, 4)
+    input_gain = dsp.Gain(size=(N, 1), nfft=nfft, requires_grad=True,
+                          alias_decay_db=alias_decay_db, dtype=dtype,
+                          key=keys[0])
+    output_gain = dsp.Gain(size=(1, N), nfft=nfft, requires_grad=True,
+                           alias_decay_db=alias_decay_db, dtype=dtype,
+                           key=keys[1])
+    delay_mod = dsp.parallelDelay(size=(N,), max_len=int(max(delays)),
+                                  nfft=nfft, isint=True, requires_grad=False,
+                                  alias_decay_db=alias_decay_db, dtype=dtype,
+                                  key=keys[2])
+    delay_mod = delay_mod.assign_value(
+        delay_mod.sample2s(jnp.asarray(delays, dtype=dtype)))
+    feedback = dsp.Matrix(size=(N, N), nfft=nfft, matrix_type="orthogonal",
+                          requires_grad=True,
+                          alias_decay_db=alias_decay_db, dtype=dtype,
+                          key=keys[3])
+    feedback_loop = system.Recursion(fF=delay_mod, fB=feedback)
+    core = system.Series(OrderedDict({
+        "input_gain": input_gain,
+        "feedback_loop": feedback_loop,
+        "output_gain": output_gain,
+    }))
+    return system.Shell(
+        core=core,
+        input_layer=dsp.FFT(nfft, dtype=dtype),
+        output_layer=dsp.Transform(_abs, dtype=dtype),
+    )
+
+
+_MSE = mse_loss()
+_SPARSITY = sparsity_loss()
+
+
+def colorless_loss(model, inputs, targets, sparsity_weight: float = 0.2):
+    """mse + 0.2 * sparsity (reference e8_colorless_fdn.py:137-138)."""
+    est = model(inputs)
+    return _MSE(est, targets) + sparsity_weight * _SPARSITY(est, targets,
+                                                           model)
+
+
+def colorless_train_step(model, lr: float = 1e-3):
+    """Build (jittable_step, opt_state) for this workload."""
+    tx = optax.adam(lr)
+    mask = trainable_mask(model)
+    opt_state = tx.init(model)
+
+    def step(model, opt_state, inputs, targets):
+        loss, grads = jax.value_and_grad(colorless_loss)(model, inputs,
+                                                         targets)
+        grads = jax.tree_util.tree_map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, mask)
+        updates, opt_state = tx.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, loss
+
+    return step, opt_state

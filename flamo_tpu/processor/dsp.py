@@ -532,12 +532,17 @@ class VelvetNoiseMatrix(ScatteringMatrix):
 
 
 def _iir_eps_guard(B, A):
-    """H = prod B / prod A with the reference's eps guard (dsp.py:1520-1526)."""
+    """H = prod B / prod A with the reference's eps guard (dsp.py:1520-1526).
+
+    Uses the double-where pattern so the guarded division cannot poison
+    gradients with NaN (jnp.where grads flow through BOTH branches)."""
     prodB = jnp.prod(B, axis=1)
     prodA = jnp.prod(A, axis=1)
-    H = prodB / prodA
-    eps = jnp.finfo(H.real.dtype).eps
-    return jnp.where(jnp.abs(prodA) != 0, H, jnp.asarray(eps, dtype=H.dtype))
+    ok = jnp.abs(prodA) != 0
+    prodA_safe = jnp.where(ok, prodA, jnp.ones_like(prodA))
+    eps = jnp.finfo(prodA.real.dtype).eps
+    return jnp.where(ok, prodB / prodA_safe,
+                     jnp.asarray(eps, dtype=prodB.dtype))
 
 
 class Biquad(Filter):

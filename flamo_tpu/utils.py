@@ -34,6 +34,21 @@ def next_key(key=None) -> jax.Array:
     return sub
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def host_eager():
+    """Run eager (construction-time) math on the CPU backend.
+
+    On remote-tunneled TPU backends every eager op pays a compile+transfer
+    round trip; module construction is eager by design (precise errors), so
+    build models under this context and let the jitted step move the pytree
+    to the accelerator."""
+    with jax.default_device(jax.devices("cpu")[0]):
+        yield
+
+
 def enable_x64(enable: bool = True) -> None:
     """Opt into float64 (the reference examples default to float64 on CPU;
     TPU is float32-native so x64 runs on the CPU backend of each op)."""

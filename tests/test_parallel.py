@@ -1,0 +1,78 @@
+"""Multi-device sharding tests on the 8-virtual-CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flamo_tpu
+from flamo_tpu.models import build_colorless_fdn
+from flamo_tpu.parallel import (
+    MultiSeedEnsemble, bin_sharded_forward, get_mesh, replicate,
+)
+
+NFFT = 2048
+DELAYS = (89, 97, 107, 113, 127, 131)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest should provide 8 cpu devices"
+    return get_mesh(8, "bins")
+
+
+def test_bin_sharded_forward_matches_unsharded(mesh):
+    flamo_tpu.set_seed(0)
+    model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+    x = jnp.zeros((1, NFFT, 1)).at[:, 0, :].set(1.0)
+    y_ref = np.asarray(jax.jit(lambda m, x: m(x))(model, x))
+    fwd = bin_sharded_forward(model, mesh)
+    y_sharded = np.asarray(jax.jit(fwd)(x))
+    assert np.abs(y_ref - y_sharded).max() < 1e-5
+
+
+def test_sharded_grad_matches(mesh):
+    flamo_tpu.set_seed(0)
+    model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+    model = replicate(model, mesh)
+    x = jnp.zeros((1, NFFT, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, NFFT // 2 + 1, 1))
+    from flamo_tpu.models.colorless_fdn import colorless_loss
+    from flamo_tpu.parallel.mesh import shard_spectrum
+
+    def sharded_loss(m, x, t):
+        h = m.input_layer(x)
+        h = shard_spectrum(h, mesh)
+        est = m.output_layer(m.core(h))
+        from flamo_tpu.optimize.loss import mse_loss, sparsity_loss
+
+        return mse_loss()(est, t) + 0.2 * sparsity_loss()(est, t, m)
+
+    g_ref = jax.jit(jax.grad(colorless_loss))(model, x, t)
+    g_sh = jax.jit(jax.grad(sharded_loss))(model, x, t)
+    for a, b in zip(jax.tree_util.tree_leaves(g_ref),
+                    jax.tree_util.tree_leaves(g_sh)):
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() < 1e-4
+
+
+def test_multi_seed_ensemble(mesh_seed=None):
+    flamo_tpu.set_seed(0)
+    seed_mesh = get_mesh(4, "seed")
+
+    def model_fn(key):
+        return build_colorless_fdn(nfft=512, delays=(13, 17, 19, 23, 29, 31),
+                                   key=key)
+
+    ens = MultiSeedEnsemble(model_fn, n_seeds=4, mesh=seed_mesh,
+                            axis_name="seed")
+    x = jnp.zeros((1, 512, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, 257, 1))
+    from flamo_tpu.models.colorless_fdn import colorless_loss
+
+    losses = ens.fit(colorless_loss, x, t, n_steps=10, lr=1e-2)
+    assert losses.shape == (10, 4)
+    # losses decreased on average
+    assert float(losses[-1].mean()) < float(losses[0].mean())
+    best = ens.best_model()
+    y = jax.jit(lambda m, x: m(x))(best, x)
+    assert np.isfinite(np.asarray(y)).all()

@@ -1,0 +1,94 @@
+"""End-to-end training tests (reference acceptance oracle (d): seeded
+convergence of the colorless FDN, examples/e8_colorless_fdn.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import flamo_tpu
+from flamo_tpu.models import build_colorless_fdn, colorless_train_step
+from flamo_tpu.optimize import (
+    Dataset, DatasetColorless, Trainer, get_dataloader, load_dataset,
+)
+from flamo_tpu.optimize.loss import masked_mse_loss, mse_loss, sparsity_loss
+
+NFFT = 4096
+DELAYS = (89, 97, 107, 113)
+
+
+def test_colorless_fdn_loss_decreases():
+    flamo_tpu.set_seed(130709)
+    model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+    step, opt_state = colorless_train_step(model, lr=1e-2)
+    step = jax.jit(step)
+    M = NFFT // 2 + 1
+    inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)  # time impulse
+    targets = jnp.ones((1, M, 1))
+    from flamo_tpu.models.colorless_fdn import colorless_loss
+
+    loss0 = float(colorless_loss(model, inputs, targets))
+    for _ in range(30):
+        model, opt_state, loss = step(model, opt_state, inputs, targets)
+    assert float(loss) < loss0
+
+
+def test_trainer_api_end_to_end(tmp_path):
+    flamo_tpu.set_seed(130709)
+    model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+    dataset = DatasetColorless(input_shape=(1, NFFT // 2 + 1, 1),
+                               target_shape=(1, NFFT // 2 + 1, 1),
+                               expand=8)
+    train_loader, valid_loader = load_dataset(dataset, batch_size=2,
+                                              seed=0)
+    trainer = Trainer(model, max_epochs=2, lr=1e-2,
+                      train_dir=str(tmp_path))
+    trainer.register_criterion(mse_loss(nfft=NFFT), 1)
+    trainer.register_criterion(sparsity_loss(), 0.2, requires_model=True)
+    trainer.train(train_loader, valid_loader)
+    assert len(trainer.train_loss) == 2
+    assert trainer.train_loss[-1] <= trainer.train_loss[0] * 1.5
+    # checkpoints written
+    import os
+
+    assert os.path.exists(os.path.join(str(tmp_path), "checkpoints",
+                                       "model_e0.pkl"))
+    # frozen delays unchanged
+    d0 = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+    assert np.allclose(
+        np.asarray(trainer.net.core.feedback_loop.feedforward.param),
+        np.asarray(d0.core.feedback_loop.feedforward.param))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from flamo_tpu.optimize.trainer import load_model_state, save_model_state
+
+    flamo_tpu.set_seed(1)
+    model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+    path = str(tmp_path / "ckpt.pkl")
+    save_model_state(model, path)
+    model2 = jax.tree_util.tree_map(lambda x: x * 0, model)
+    model3 = load_model_state(model2, path)
+    for a, b in zip(jax.tree_util.tree_leaves(model),
+                    jax.tree_util.tree_leaves(model3)):
+        assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_masked_mse_cycles_masks():
+    loss = masked_mse_loss(nfft=256, n_samples=43, n_sets=2)
+    y = jnp.ones((1, 129, 1))
+    t = jnp.zeros((1, 129, 1))
+    v = float(loss(y[..., 0], t[..., 0], step=jnp.asarray(0)))
+    assert v == pytest.approx(1.0)
+    assert loss.mask_indices.shape == (2 * (129 // 43), 43)
+
+
+def test_early_stopping():
+    trainer = Trainer(build_colorless_fdn(nfft=NFFT, delays=DELAYS),
+                      patience=2, patience_delta=0.1, log=False)
+    trainer.valid_loss = [1.0]
+    assert not trainer.early_stop()
+    trainer.valid_loss.append(0.95)  # within delta -> counter 1
+    assert not trainer.early_stop()
+    trainer.valid_loss.append(0.93)  # within delta -> counter 2 -> stop
+    assert trainer.early_stop()
