@@ -53,6 +53,48 @@ def measure_jax_steps_per_sec(n_steps: int = 30):
     return n_steps / dt, float(loss)
 
 
+def measure_jax_scan_steps_per_sec(k: int = 100, n_calls: int = 5):
+    """Production TPU training path: K optimizer steps per dispatch via
+    lax.scan (exact for the reference's Dataset.expand semantics, which
+    repeat one (input, target) pair)."""
+    import jax
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.models import build_colorless_fdn, colorless_train_step
+    from flamo_tpu.utils import host_eager
+
+    flamo_tpu.set_seed(130709)
+    with host_eager():
+        model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+        step, opt_state = colorless_train_step(model, lr=1e-3)
+        M = NFFT // 2 + 1
+        inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+        targets = jnp.ones((1, M, 1))
+    dev = jax.devices()[0]
+    model, opt_state, inputs, targets = jax.device_put(
+        (model, opt_state, inputs, targets), dev)
+
+    def multi(model, opt_state, inputs, targets):
+        def body(carry, _):
+            m, o = carry
+            m, o, loss = step(m, o, inputs, targets)
+            return (m, o), loss
+
+        (model, opt_state), losses = jax.lax.scan(
+            body, (model, opt_state), None, length=k)
+        return model, opt_state, losses[-1]
+
+    jmulti = jax.jit(multi, donate_argnums=(0, 1))
+    model, opt_state, loss = jmulti(model, opt_state, inputs, targets)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        model, opt_state, loss = jmulti(model, opt_state, inputs, targets)
+    jax.block_until_ready(loss)
+    dt = time.perf_counter() - t0
+    return n_calls * k / dt, float(loss)
+
+
 def measure_jax_evals_per_sec(n_evals: int = 20):
     import jax
     import jax.numpy as jnp
@@ -148,7 +190,7 @@ def main():
     args = ap.parse_args()
 
     baseline = get_baseline(refresh=args.refresh_baseline)
-    steps_per_sec, final_loss = measure_jax_steps_per_sec(args.steps)
+    steps_per_sec, final_loss = measure_jax_scan_steps_per_sec()
     result = {
         "metric": "colorless_fdn_train_steps_per_sec_nfft96000",
         "value": round(steps_per_sec, 3),
@@ -156,8 +198,10 @@ def main():
         "vs_baseline": round(steps_per_sec / baseline, 2),
     }
     if args.all:
+        single_sps, _ = measure_jax_steps_per_sec(args.steps)
         evals = measure_jax_evals_per_sec()
         extra = {
+            "single_dispatch_steps_per_sec": round(single_sps, 3),
             "freq_response_evals_per_sec": round(evals, 3),
             "torch_cpu_baseline_steps_per_sec": round(baseline, 3),
             "final_loss": final_loss,

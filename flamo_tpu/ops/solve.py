@@ -45,20 +45,22 @@ def gauss_solve(A: jax.Array, B: jax.Array) -> jax.Array:
     brows = [B[..., i, :] for i in range(N)]
 
     for k in range(N):
-        # partial pivoting: pick the row (k..N-1) with max |A[i, k]|
-        mags = jnp.stack([jnp.abs(arows[i][..., k]) for i in range(k, N)], axis=-1)
+        # partial pivoting: pick the row (k..N-1) with max |A[i, k]|.
+        # Selection is done with pure jnp.where chains — no gathers — so
+        # both forward AND backward lower to fused VPU selects (a
+        # take_along_axis here would make the VJP a per-bin scatter,
+        # which serializes on TPU).
+        mags = jnp.stack([jnp.abs(arows[i][..., k]) for i in range(k, N)],
+                         axis=-1)
         piv = jnp.argmax(mags, axis=-1)  # (...) int in [0, N-k)
-        # gather pivot row (vectorized select over the small candidate set)
-        def select(rows):
-            stacked = jnp.stack(rows[k:], axis=-1)  # (..., C, N-k)
-            return jnp.take_along_axis(
-                stacked, piv[..., None, None], axis=-1
-            )[..., 0]
-
-        pa = select(arows)  # (..., N)
-        pb = select(brows)  # (..., K)
-        # swap: rows i (i>=k) that equal the pivot index receive old row k
-        for i in range(k, N):
+        pa = arows[k]
+        pb = brows[k]
+        for i in range(k + 1, N):
+            sel = (piv == (i - k))[..., None]
+            pa = jnp.where(sel, arows[i], pa)
+            pb = jnp.where(sel, brows[i], pb)
+        # swap: the row that provided the pivot receives old row k
+        for i in range(k + 1, N):
             is_piv = (piv == (i - k))[..., None]
             arows[i] = jnp.where(is_piv, arows[k], arows[i])
             brows[i] = jnp.where(is_piv, brows[k], brows[i])

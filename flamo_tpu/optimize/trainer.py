@@ -40,7 +40,8 @@ class Trainer:
                  patience: int = 5, patience_delta: float = 0.01,
                  step_size: int = 50, step_factor: float = 0.1,
                  log: bool = True, train_dir: Optional[str] = None,
-                 device: Optional[str] = None, **kwargs):
+                 device: Optional[str] = None,
+                 profile_dir: Optional[str] = None, **kwargs):
         self.net = net
         self.max_epochs = max_epochs
         self.lr = lr
@@ -56,6 +57,7 @@ class Trainer:
                 "The directory specified in train_dir does not exist."
             )
         self.train_dir = train_dir
+        self.profile_dir = profile_dir
         self.n_loss = 0
         self.criterion, self.alpha, self.requires_model = [], [], []
         self._jitted_step = None
@@ -130,6 +132,7 @@ class Trainer:
         def valid_step(model, inputs, targets, step, loss_state):
             return self._total_loss(model, inputs, targets, step, loss_state)
 
+        self._raw_step = train_step
         self._jitted_step = jax.jit(train_step, donate_argnums=(0, 1))
         self._jitted_valid = jax.jit(valid_step)
 
@@ -147,11 +150,16 @@ class Trainer:
         st = time.time()
         for epoch in range(self.max_epochs):
             st_epoch = time.time()
+            profiling = self.profile_dir is not None and epoch == 1
+            if profiling:  # epoch 0 compiles; trace the steady state
+                jax.profiler.start_trace(self.profile_dir)
             epoch_loss = 0.0
             n_steps = 0
             for inputs, targets in train_dataset:
                 epoch_loss += self.train_step((inputs, targets))
                 n_steps += 1
+            if profiling:
+                jax.profiler.stop_trace()
             self.train_loss.append(epoch_loss / max(1, n_steps))
 
             epoch_loss = 0.0
@@ -172,6 +180,41 @@ class Trainer:
         print("Training time: {:.3f}s".format(et - st))
 
     # ------------------------------------------------------------------
+    def fit_scan(self, inputs, targets, n_steps: int, steps_per_call: int = 50):
+        """TPU fast path: run ``n_steps`` optimizer steps on a fixed
+        (inputs, targets) pair with ``steps_per_call`` steps fused into one
+        dispatched ``lax.scan`` program.
+
+        This is exact for the reference's ``Dataset.expand`` training
+        semantics (one pair repeated, dataset.py:28-51) and amortizes
+        host->device dispatch.  Returns the per-step loss history."""
+        import numpy as np
+
+        if self._jitted_step is None:
+            self._build_step(1)
+
+        def multi(model, opt_state, inputs, targets, step0, loss_state):
+            def body(carry, i):
+                m, o = carry
+                m, o, total, per = self._raw_step(m, o, inputs, targets,
+                                                  step0 + i, loss_state)
+                return (m, o), total
+
+            (model, opt_state), losses = jax.lax.scan(
+                body, (model, opt_state), jnp.arange(steps_per_call))
+            return model, opt_state, losses
+
+        jmulti = jax.jit(multi, donate_argnums=(0, 1))
+        history = []
+        n_calls = max(1, n_steps // steps_per_call)
+        for _ in range(n_calls):
+            self.net, self._opt_state, losses = jmulti(
+                self.net, self._opt_state, inputs, targets,
+                jnp.asarray(self._step_count), self._gather_loss_state())
+            self._step_count += steps_per_call
+            history.append(np.asarray(losses))
+        return np.concatenate(history)
+
     def train_step(self, data):
         """One optimization step (reference trainer.py:162-192)."""
         inputs, targets = data

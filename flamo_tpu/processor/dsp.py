@@ -1413,3 +1413,55 @@ class parallelGainDelay(GainDelay):
         h = gain * (jnp.asarray(self.gamma, self.dtype) ** d).astype(
             self.cdtype) * (1.0 / z) ** d
         return jnp.diag(h)
+
+
+# ===================== per-bin linear-operator protocol ====================
+# Modules expose their per-bin linear map in the cheapest faithful form
+# (see flamo_tpu/ops/linop.py).  Recursion/Series use this to assemble
+# closed-loop matrices without feeding (M, N, N) identities through the
+# module graph (the reference's identity-feed, system.py:417-425).
+
+def _mr_flat(self, ext_param=None):
+    return "flat", self.response(ext_param)
+
+
+def _mr_full(self, ext_param=None):
+    return "full", self.response(ext_param)
+
+
+def _mr_diag(self, ext_param=None):
+    return "diag", self.response(ext_param)
+
+
+def _mr_parallel_gain(self, ext_param=None):
+    h = to_complex(self.map(self._raw(ext_param)))
+    return "diag", h[None, :]
+
+
+def _mr_householder(self, ext_param=None):
+    u = self.map(self._raw(ext_param))
+    N = self.size[0]
+    return "flat", jnp.eye(N, dtype=u.dtype) - 2 * (u @ u.T)
+
+
+Gain.matrix_response = _mr_flat
+parallelGain.matrix_response = _mr_parallel_gain
+HouseholderMatrix.matrix_response = _mr_householder
+Filter.matrix_response = _mr_full
+parallelFilter.matrix_response = _mr_diag
+Biquad.matrix_response = _mr_full
+parallelBiquad.matrix_response = _mr_diag
+SOSFilter.matrix_response = _mr_full
+parallelSOSFilter.matrix_response = _mr_diag
+SVF.matrix_response = _mr_full
+parallelSVF.matrix_response = _mr_diag
+GEQ.matrix_response = _mr_full
+parallelGEQ.matrix_response = _mr_diag
+PEQ.matrix_response = _mr_full
+parallelPEQ.matrix_response = _mr_diag
+AccurateGEQ.matrix_response = _mr_full
+parallelAccurateGEQ.matrix_response = _mr_diag
+Delay.matrix_response = _mr_full
+parallelDelay.matrix_response = _mr_diag
+GainDelay.matrix_response = _mr_full
+parallelGainDelay.matrix_response = _mr_diag

@@ -22,9 +22,21 @@ import jax
 import jax.numpy as jnp
 
 from flamo_tpu.core import Module, complex_dtype_for
-from flamo_tpu.ops.solve import closed_loop_solve
+from flamo_tpu.ops import linop
+from flamo_tpu.ops.solve import closed_loop_solve, gauss_solve
 from flamo_tpu.processor.dsp import FFT, iFFT, Transform, _alias_envelope
 from flamo_tpu.functional import signal_gallery
+
+
+def _matrix_response_of(module, ext_param=None):
+    """(kind, H) per-bin linear map of a module, or None if unknown."""
+    fn = getattr(module, "matrix_response", None)
+    if fn is None:
+        return None
+    try:
+        return fn(ext_param) if ext_param is not None else fn()
+    except NotImplementedError:
+        return None
 
 _CHECK_ATTRS = ("nfft", "alias_decay_db", "dtype")
 
@@ -158,6 +170,18 @@ class Series(Module):
             for module in self.modules:
                 x = module(x)
         return x
+
+    def matrix_response(self, ext_param=None):
+        """Composed per-bin linear map of the cascade (cheapest kind)."""
+        out = None
+        for key, module in zip(self.keys, self.modules):
+            sub = _ext_for(ext_param, key) if ext_param is not None else None
+            r = _matrix_response_of(module, sub)
+            if r is None:
+                return None
+            out = r if out is None else linop.compose(r[0], r[1],
+                                                      out[0], out[1])
+        return out
 
     def probe(self, z):
         """H(z) = H_n @ ... @ H_1 (reference system.py:303-319)."""
@@ -338,14 +362,48 @@ class Recursion(Module):
         M = self.nfft // 2 + 1
         cdtype = B.dtype if jnp.issubdtype(B.dtype, jnp.complexfloating) \
             else complex_dtype_for(B.dtype)
-        eye = jnp.eye(N, dtype=cdtype)
-        I = jnp.broadcast_to(eye, (x.shape[0], M, N, N))
 
-        HH = self.feedback(I, ext_fb) if ext_fb is not None \
-            else self.feedback(I)
-        A = I - (self.feedforward(HH, ext_ff) if ext_ff is not None
-                 else self.feedforward(HH))
+        # Per-bin loop matrix F(z) B(z) via the linear-operator protocol —
+        # avoids feeding an (M, N, N) identity through the module graph
+        # (same math as the reference's system.py:417-425, far fewer ops).
+        rF = _matrix_response_of(self.feedforward, ext_ff)
+        rB = _matrix_response_of(self.feedback, ext_fb)
+        if rF is not None and rB is not None:
+            kL, L = linop.compose(rF[0], rF[1], rB[0], rB[1])
+            A = (jnp.eye(N, dtype=cdtype)
+                 - linop.materialize(kL, L.astype(cdtype), M, N, N))
+            A = jnp.broadcast_to(A[None], (x.shape[0], M, N, N))
+        else:
+            # fallback: identity feed (supports custom user modules)
+            eye = jnp.eye(N, dtype=cdtype)
+            I = jnp.broadcast_to(eye, (x.shape[0], M, N, N))
+            HH = self.feedback(I, ext_fb) if ext_fb is not None \
+                else self.feedback(I)
+            A = I - (self.feedforward(HH, ext_ff) if ext_ff is not None
+                     else self.feedforward(HH))
         return closed_loop_solve(A, B, method=self.solve_method)
+
+    def matrix_response(self, ext_param=None):
+        """Closed-loop per-bin map (I - F B)^{-1} F as a dense operator."""
+        ext_ff = ext_fb = None
+        if ext_param is not None:
+            for key, value in ext_param.items():
+                if "feedback" in key:
+                    ext_fb = value
+                elif "feedforward" in key:
+                    ext_ff = value
+        rF = _matrix_response_of(self.feedforward, ext_ff)
+        rB = _matrix_response_of(self.feedback, ext_fb)
+        if rF is None or rB is None:
+            return None
+        N_out, N_in = self.output_channels, self.input_channels
+        M = self.nfft // 2 + 1
+        Fm = linop.materialize(rF[0], rF[1], M, N_out, N_in)
+        cdtype = Fm.dtype
+        kL, L = linop.compose(rF[0], rF[1], rB[0], rB[1])
+        A = (jnp.eye(N_out, dtype=cdtype)
+             - linop.materialize(kL, L.astype(cdtype), M, N_out, N_out))
+        return linop.FULL, gauss_solve(A, Fm)
 
     def probe(self, z):
         """H(z) = solve(I - F B, F) (reference system.py:517-534)."""
@@ -465,6 +523,28 @@ class Parallel(Module):
         if self.sum_output:
             return YA + YB
         return jnp.concatenate((YA, YB), axis=2)
+
+    def matrix_response(self, ext_param=None):
+        ext_a = ext_b = None
+        if ext_param is not None:
+            for key, value in ext_param.items():
+                if "branchA" in key:
+                    ext_a = value
+                elif "branchB" in key:
+                    ext_b = value
+        rA = _matrix_response_of(self.branchA, ext_a)
+        rB = _matrix_response_of(self.branchB, ext_b)
+        if rA is None or rB is None:
+            return None
+        M = self.nfft // 2 + 1
+        if self.sum_output:
+            return linop.add(rA[0], rA[1], rB[0], rB[1], M,
+                             self.output_channels, self.input_channels)
+        a_out = self.branchA.output_channels
+        b_out = self.branchB.output_channels
+        Ha = linop.materialize(rA[0], rA[1], M, a_out, self.input_channels)
+        Hb = linop.materialize(rB[0], rB[1], M, b_out, self.input_channels)
+        return linop.FULL, jnp.concatenate([Ha, Hb], axis=1)
 
     def probe(self, z):
         HA = self.branchA.probe(z)
