@@ -1,0 +1,338 @@
+"""Numerical parity vs the mounted PyTorch reference (BASELINE.md parity
+gate: responses match within float32 tolerance).
+
+The reference is imported directly from /root/reference with lightweight
+stubs for its unavailable optional deps (soundfile, nnAudio, pyfar — none
+of which are on the compared code paths)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    # stub optional deps the compared paths never touch
+    for name in ["soundfile", "pyfar"]:
+        if name not in sys.modules:
+            stub = types.ModuleType(name)
+            stub.write = lambda *a, **k: None
+            stub.read = lambda *a, **k: (None, None)
+            sys.modules[name] = stub
+    if "nnAudio" not in sys.modules:
+        nn_audio = types.ModuleType("nnAudio")
+        features = types.ModuleType("nnAudio.features")
+        features.mel = types.SimpleNamespace(MelSpectrogram=None)
+        features.stft = types.SimpleNamespace(STFT=None)
+        nn_audio.features = features
+        sys.modules["nnAudio"] = nn_audio
+        sys.modules["nnAudio.features"] = features
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+    import flamo.functional as rfunc
+    import flamo.processor.dsp as rdsp
+    import flamo.processor.system as rsys
+
+    return types.SimpleNamespace(func=rfunc, dsp=rdsp, sys=rsys)
+
+
+NFFT = 2048
+FS = 48000
+
+
+def _close(a, b, atol=1e-4, rtol=1e-3):
+    a = np.asarray(a)
+    b = np.asarray(b)
+    assert a.shape == b.shape, (a.shape, b.shape)
+    np.testing.assert_allclose(a, b, atol=atol, rtol=rtol)
+
+
+# ------------------------------------------------------------ functional
+def test_parity_rbj_filters(ref):
+    import jax.numpy as jnp
+    from flamo_tpu import functional as F
+
+    for fc, fn_j, fn_t in [
+        (500.0, F.lowpass_filter, ref.func.lowpass_filter),
+        (8000.0, F.highpass_filter, ref.func.highpass_filter),
+    ]:
+        bj, aj = fn_j(fc=jnp.asarray(fc), gain=3.0, fs=FS)
+        bt, at = fn_t(fc=torch.tensor(fc), gain=torch.tensor(3.0), fs=FS)
+        _close(bj, bt.numpy())
+        _close(aj, at.numpy())
+
+    bj, aj = F.bandpass_filter(jnp.asarray(500.0), jnp.asarray(4000.0),
+                               2.0, fs=FS)
+    bt, at = ref.func.bandpass_filter(torch.tensor(500.0),
+                                      torch.tensor(4000.0),
+                                      torch.tensor(2.0), fs=FS)
+    _close(bj, bt.numpy())
+    _close(aj, at.numpy())
+
+
+def test_parity_shelving_peak(ref):
+    import jax.numpy as jnp
+    from flamo_tpu import functional as F
+
+    for t in ["low", "high"]:
+        bj, aj = F.shelving_filter(jnp.asarray(1000.0), jnp.asarray(2.0), t,
+                                   fs=FS)
+        bt, at = ref.func.shelving_filter(torch.tensor(1000.0),
+                                          torch.tensor(2.0), t, fs=FS)
+        _close(bj, bt.numpy())
+        _close(aj, at.numpy())
+
+    bj, aj = F.peak_filter(jnp.asarray(2000.0), jnp.asarray(2.0),
+                           jnp.asarray(3.0), fs=FS)
+    bt, at = ref.func.peak_filter(torch.tensor(2000.0), torch.tensor(2.0),
+                                  torch.tensor(3.0), fs=FS)
+    _close(bj, bt.numpy())
+    _close(aj, at.numpy())
+
+
+def test_parity_prop_filters(ref):
+    import jax.numpy as jnp
+    from flamo_tpu import functional as F
+
+    bj, aj = F.prop_shelving_filter(jnp.asarray(1000.0), jnp.asarray(6.0),
+                                    "low", fs=FS)
+    bt, at = ref.func.prop_shelving_filter(torch.tensor(1000.0),
+                                           torch.tensor(6.0), "low", fs=FS)
+    _close(bj, bt.numpy())
+    _close(aj, at.numpy())
+
+    bj, aj = F.prop_peak_filter(jnp.asarray(1000.0), jnp.asarray(200.0),
+                                jnp.asarray(4.0), fs=FS)
+    bt, at = ref.func.prop_peak_filter(torch.tensor(1000.0),
+                                       torch.tensor(200.0),
+                                       torch.tensor(4.0), fs=FS)
+    _close(bj, bt.numpy())
+    _close(aj, at.numpy())
+
+
+def test_parity_svf_functional(ref):
+    import jax.numpy as jnp
+    from flamo_tpu import functional as F
+
+    for ft in ["lowpass", "highpass", "bandpass", "lowshelf", "highshelf",
+               "peaking"]:
+        bj, aj = F.svf(jnp.asarray(1000.0), jnp.asarray(0.9),
+                       G=jnp.asarray(0.5), filter_type=ft, fs=FS)
+        bt, at = ref.func.svf(torch.tensor(1000.0), torch.tensor(0.9),
+                              G=torch.tensor(0.5), filter_type=ft, fs=FS)
+        _close(bj, bt.numpy(), atol=1e-4)
+        _close(aj, at.numpy(), atol=1e-4)
+
+
+def test_parity_skew_and_orthogonal_map(ref):
+    import jax.numpy as jnp
+    from flamo_tpu import functional as F
+
+    x = np.random.default_rng(0).normal(size=(6, 6)).astype(np.float32)
+    _close(F.skew_matrix(jnp.asarray(x)),
+           ref.func.skew_matrix(torch.tensor(x)).numpy(), atol=1e-6)
+    Uj = F.expm_skew(jnp.asarray(x))
+    Ut = torch.matrix_exp(ref.func.skew_matrix(torch.tensor(x))).numpy()
+    _close(Uj, Ut, atol=2e-5)
+
+
+def test_parity_biquad2tf(ref):
+    import jax.numpy as jnp
+    from flamo_tpu import functional as F
+
+    rng = np.random.default_rng(1)
+    b = rng.normal(size=(3, 2)).astype(np.float32)
+    a = rng.normal(size=(3, 2)).astype(np.float32)
+    a[0] += 3  # keep away from zeros
+    Hj = F.biquad2tf(jnp.asarray(b), jnp.asarray(a), NFFT)
+    Ht = ref.func.biquad2tf(torch.tensor(b), torch.tensor(a), NFFT).numpy()
+    _close(Hj, Ht, atol=1e-3)
+
+
+# ------------------------------------------------------------ dsp modules
+def test_parity_gain_forward(ref):
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.processor import dsp
+
+    rng = np.random.default_rng(2)
+    W = rng.normal(size=(3, 2)).astype(np.float32)
+    X = (rng.normal(size=(1, NFFT // 2 + 1, 2))
+         + 1j * rng.normal(size=(1, NFFT // 2 + 1, 2))).astype(np.complex64)
+
+    gj = dsp.Gain(size=(3, 2), nfft=NFFT).assign_value(jnp.asarray(W))
+    yj = gj(jnp.asarray(X))
+
+    gt = ref.dsp.Gain(size=(3, 2), nfft=NFFT)
+    gt.assign_value(torch.tensor(W))
+    yt = gt(torch.tensor(X)).numpy()
+    _close(yj, yt, atol=1e-5)
+
+
+def test_parity_delay_response(ref):
+    import jax.numpy as jnp
+    from flamo_tpu.processor import dsp
+
+    delays = np.array([13.0, 29.0, 47.0], dtype=np.float32)
+    dj = dsp.parallelDelay(size=(3,), max_len=64, isint=True, nfft=NFFT,
+                           alias_decay_db=30)
+    dj = dj.assign_value(dj.sample2s(jnp.asarray(delays)))
+    Hj = dj.response()
+
+    dt = ref.dsp.parallelDelay(size=(3,), max_len=64, isint=True, nfft=NFFT,
+                               alias_decay_db=30)
+    dt.assign_value(dt.sample2s(torch.tensor(delays)))
+    Ht = dt.freq_response(dt.param).detach().numpy()
+    _close(Hj, Ht, atol=1e-4)
+
+
+def test_parity_biquad_response(ref):
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.processor import dsp
+
+    rng = np.random.default_rng(3)
+    raw = np.stack([rng.uniform(0.05, 0.5, (2, 1, 1)),
+                    rng.uniform(0.2, 1.0, (2, 1, 1))],
+                   axis=1).astype(np.float32)  # (K,2,1,1)
+
+    bj = dsp.Biquad(size=(1, 1), n_sections=2, filter_type="lowpass",
+                    nfft=NFFT, fs=FS, alias_decay_db=20)
+    bj = bj.assign_value(jnp.asarray(raw))
+    Hj = bj.response()
+
+    bt = ref.dsp.Biquad(size=(1, 1), n_sections=2, filter_type="lowpass",
+                        nfft=NFFT, fs=FS, alias_decay_db=20)
+    bt.assign_value(torch.tensor(raw))
+    Ht = bt.freq_response(bt.param).detach().numpy()
+    _close(Hj, Ht, atol=1e-3, rtol=1e-2)
+
+
+def test_parity_svf_module(ref):
+    import jax.numpy as jnp
+    from flamo_tpu.processor import dsp
+
+    rng = np.random.default_rng(4)
+    raw = rng.normal(size=(5, 2, 1, 1)).astype(np.float32)
+
+    sj = dsp.SVF(size=(1, 1), n_sections=2, filter_type="peaking",
+                 nfft=NFFT, fs=FS)
+    sj = sj.assign_value(jnp.asarray(raw))
+    Hj = sj.response()
+
+    st = ref.dsp.SVF(size=(1, 1), n_sections=2, filter_type="peaking",
+                     nfft=NFFT, fs=FS)
+    st.assign_value(torch.tensor(raw))
+    Ht = st.freq_response(st.param).detach().numpy()
+    _close(Hj, Ht, atol=1e-3, rtol=1e-2)
+
+
+def test_parity_filter_fir(ref):
+    import jax.numpy as jnp
+    from flamo_tpu.processor import dsp
+
+    rng = np.random.default_rng(5)
+    taps = rng.normal(size=(16, 2, 3)).astype(np.float32)
+
+    fj = dsp.Filter(size=(16, 2, 3), nfft=NFFT, alias_decay_db=10)
+    fj = fj.assign_value(jnp.asarray(taps))
+    Hj = fj.response()
+
+    ft = ref.dsp.Filter(size=(16, 2, 3), nfft=NFFT, alias_decay_db=10)
+    ft.assign_value(torch.tensor(taps))
+    Ht = ft.freq_response(ft.param).detach().numpy()
+    _close(Hj, Ht, atol=1e-4)
+
+
+def test_parity_fdn_closed_loop(ref):
+    """Full closed-loop FDN forward parity (the BASELINE workload shape,
+    scaled down)."""
+    import jax.numpy as jnp
+    from collections import OrderedDict
+    from flamo_tpu.processor import dsp, system
+
+    rng = np.random.default_rng(6)
+    N = 4
+    delays = np.array([89.0, 97.0, 107.0, 113.0], dtype=np.float32)
+    Wmix = rng.normal(size=(N, N)).astype(np.float32)
+    gin = rng.normal(size=(N, 1)).astype(np.float32)
+    gout = rng.normal(size=(1, N)).astype(np.float32)
+    alias = 30.0
+
+    # jax model
+    dj = dsp.parallelDelay(size=(N,), max_len=128, isint=True, nfft=NFFT,
+                           alias_decay_db=alias)
+    dj = dj.assign_value(dj.sample2s(jnp.asarray(delays)))
+    mj = dsp.Matrix(size=(N, N), nfft=NFFT, matrix_type="orthogonal",
+                    alias_decay_db=alias).assign_value(jnp.asarray(Wmix))
+    igj = dsp.Gain(size=(N, 1), nfft=NFFT, alias_decay_db=alias) \
+        .assign_value(jnp.asarray(gin))
+    ogj = dsp.Gain(size=(1, N), nfft=NFFT, alias_decay_db=alias) \
+        .assign_value(jnp.asarray(gout))
+    corej = system.Series(OrderedDict({
+        "i": igj, "l": system.Recursion(fF=dj, fB=mj), "o": ogj}))
+
+    # torch model
+    dt = ref.dsp.parallelDelay(size=(N,), max_len=128, isint=True,
+                               nfft=NFFT, alias_decay_db=alias)
+    dt.assign_value(dt.sample2s(torch.tensor(delays)))
+    mt = ref.dsp.Matrix(size=(N, N), nfft=NFFT, matrix_type="orthogonal",
+                        alias_decay_db=alias)
+    mt.assign_value(torch.tensor(Wmix))
+    igt = ref.dsp.Gain(size=(N, 1), nfft=NFFT, alias_decay_db=alias)
+    igt.assign_value(torch.tensor(gin))
+    ogt = ref.dsp.Gain(size=(1, N), nfft=NFFT, alias_decay_db=alias)
+    ogt.assign_value(torch.tensor(gout))
+    from collections import OrderedDict as OD
+    coret = ref.sys.Series(OD({
+        "i": igt,
+        "l": ref.sys.Recursion(fF=dt, fB=mt),
+        "o": ogt}))
+
+    M = NFFT // 2 + 1
+    X = (rng.normal(size=(1, M, 1))
+         + 1j * rng.normal(size=(1, M, 1))).astype(np.complex64)
+    yj = np.asarray(corej(jnp.asarray(X)))
+    yt = coret(torch.tensor(X)).detach().numpy()
+    _close(yj, yt, atol=2e-3, rtol=1e-2)
+
+
+def test_parity_alias_envelopes(ref):
+    """gamma formula and FFT/iFFT anti-alias envelopes match."""
+    import jax.numpy as jnp
+    from flamo_tpu.processor import dsp
+
+    x = np.random.default_rng(7).normal(size=(1, NFFT, 2)).astype(np.float32)
+    fj = dsp.FFTAntiAlias(NFFT, alias_decay_db=30)
+    ft = ref.dsp.FFTAntiAlias(NFFT, alias_decay_db=30)
+    _close(fj(jnp.asarray(x)), ft(torch.tensor(x)).numpy(), atol=2e-2,
+           rtol=1e-3)
+
+    X = np.fft.rfft(x, axis=1).astype(np.complex64)
+    ij = dsp.iFFTAntiAlias(NFFT, alias_decay_db=30)
+    it = ref.dsp.iFFTAntiAlias(NFFT, alias_decay_db=30)
+    _close(ij(jnp.asarray(X)), it(torch.tensor(X)).numpy(), atol=1e-3)
+
+
+def test_parity_geq_design(ref):
+    """GEQ SOS design parity: flamo_tpu geq vs reference geq."""
+    import jax.numpy as jnp
+    from flamo_tpu.auxiliary.eq import eq_freqs, geq
+
+    center, shelving = eq_freqs(interval=1)
+    K = len(np.asarray(center)) + 3
+    gains = np.linspace(-5, 5, K).astype(np.float32)
+
+    bj, aj = geq(center, shelving, 2.7, jnp.asarray(gains), fs=FS)
+
+    from flamo.auxiliary.eq import geq as rgeq
+
+    bt, at = rgeq(torch.tensor(np.asarray(center)),
+                  torch.tensor(np.asarray(shelving)),
+                  torch.tensor(2.7), torch.tensor(gains), fs=FS)
+    _close(bj, bt.numpy(), atol=1e-4)
+    _close(aj, at.numpy(), atol=1e-4)
