@@ -87,9 +87,14 @@ def gauss_solve(A: jax.Array, B: jax.Array) -> jax.Array:
 def closed_loop_solve(A: jax.Array, B: jax.Array, method: str = "ge") -> jax.Array:
     """Dispatch for the Recursion solve.
 
-    method: 'ge' (unrolled elimination, default — fastest for N<=32 on TPU)
-    or 'lu' (``jnp.linalg.solve``).
+    method: 'ge' (unrolled elimination, default — fastest for N<=32 on TPU),
+    'pallas' (fused Pallas TPU kernel, vector rhs only), or 'lu'
+    (``jnp.linalg.solve``).
     """
+    if method == "pallas" and B.ndim == A.ndim - 1:
+        from flamo_tpu.ops.pallas_solve import pallas_gauss_solve
+
+        return pallas_gauss_solve(A, B)
     if method == "lu" or A.shape[-1] > 32:
         if B.ndim == A.ndim - 1:
             return jnp.linalg.solve(A, B[..., None])[..., 0]

@@ -1,0 +1,117 @@
+"""Solver kernel tests: XLA Gaussian elimination and the Pallas TPU kernel
+(interpret mode on CPU)."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flamo_tpu.ops.solve import closed_loop_solve, gauss_solve
+
+
+def _random_system(M, N, seed=0, cond_boost=3.0):
+    rng = np.random.default_rng(seed)
+    A = (rng.normal(size=(M, N, N))
+         + 1j * rng.normal(size=(M, N, N))).astype(np.complex64)
+    A += cond_boost * np.eye(N)
+    B = (rng.normal(size=(M, N))
+         + 1j * rng.normal(size=(M, N))).astype(np.complex64)
+    return jnp.asarray(A), jnp.asarray(B)
+
+
+@pytest.mark.parametrize("N", [1, 2, 4, 6, 8, 13])
+def test_gauss_solve_matches_lu(N):
+    A, B = _random_system(64, N, seed=N)
+    y = gauss_solve(A, B)
+    y_ref = jnp.linalg.solve(A, B[..., None])[..., 0]
+    assert float(jnp.abs(y - y_ref).max()) < 1e-4
+
+
+def test_gauss_solve_needs_pivoting():
+    # leading zero pivot forces a swap
+    A = jnp.asarray([[0.0 + 0j, 1.0], [1.0, 1.0]])[None]
+    B = jnp.asarray([[1.0 + 0j, 2.0]])
+    y = gauss_solve(A, B)
+    y_ref = jnp.linalg.solve(A, B[..., None])[..., 0]
+    assert float(jnp.abs(y - y_ref).max()) < 1e-6
+
+
+def test_gauss_solve_matrix_rhs():
+    A, _ = _random_system(32, 5)
+    rng = np.random.default_rng(1)
+    B = jnp.asarray((rng.normal(size=(32, 5, 3))
+                     + 1j * rng.normal(size=(32, 5, 3))).astype(np.complex64))
+    y = gauss_solve(A, B)
+    y_ref = jnp.linalg.solve(A, B)
+    assert float(jnp.abs(y - y_ref).max()) < 1e-4
+
+
+def test_gauss_solve_grad_matches_lu():
+    A, B = _random_system(16, 4)
+
+    def f_ge(A, B):
+        return jnp.sum(jnp.abs(gauss_solve(A, B)) ** 2)
+
+    def f_lu(A, B):
+        return jnp.sum(jnp.abs(jnp.linalg.solve(A, B[..., None])[..., 0]) ** 2)
+
+    g1 = jax.grad(f_ge, argnums=(0, 1))(A, B)
+    g2 = jax.grad(f_lu, argnums=(0, 1))(A, B)
+    for a, b in zip(g1, g2):
+        rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+        assert rel < 1e-3
+
+
+@pytest.fixture()
+def pallas_interpret(monkeypatch):
+    """Force the Pallas kernel through the interpreter (no TPU on CI)."""
+    import flamo_tpu.ops.pallas_solve as ps
+    from jax.experimental import pallas as pl
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(ps.pl, "pallas_call",
+                        partial(orig_call, interpret=True))
+    monkeypatch.setattr(ps, "TILE", 256)
+    return ps
+
+
+def test_pallas_solve_forward(pallas_interpret):
+    ps = pallas_interpret
+    A, B = _random_system(256, 4, seed=7)
+    y = ps.pallas_gauss_solve(A, B)
+    y_ref = jnp.linalg.solve(A, B[..., None])[..., 0]
+    assert float(jnp.abs(y - y_ref).max()) < 1e-4
+
+
+def test_pallas_solve_padding_and_batch(pallas_interpret):
+    ps = pallas_interpret
+    A, B = _random_system(100, 3, seed=8)  # M not a TILE multiple
+    y = ps.pallas_gauss_solve(A, B)
+    y_ref = jnp.linalg.solve(A, B[..., None])[..., 0]
+    assert float(jnp.abs(y - y_ref).max()) < 1e-4
+    # batched rhs with broadcast A
+    rng = np.random.default_rng(9)
+    Bb = jnp.asarray((rng.normal(size=(2, 100, 3))
+                      + 1j * rng.normal(size=(2, 100, 3))).astype(np.complex64))
+    yb = ps.pallas_gauss_solve(A[None], Bb)
+    yb_ref = jnp.linalg.solve(A[None], Bb[..., None])[..., 0]
+    assert float(jnp.abs(yb - yb_ref).max()) < 1e-4
+
+
+def test_pallas_solve_grad(pallas_interpret):
+    ps = pallas_interpret
+    A, B = _random_system(256, 3, seed=10)
+
+    def f_p(A, B):
+        return jnp.sum(jnp.abs(ps.pallas_gauss_solve(A, B)) ** 2)
+
+    def f_g(A, B):
+        return jnp.sum(jnp.abs(gauss_solve(A, B)) ** 2)
+
+    g1 = jax.grad(f_p, argnums=(0, 1))(A, B)
+    g2 = jax.grad(f_g, argnums=(0, 1))(A, B)
+    for a, b in zip(g1, g2):
+        rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+        assert rel < 1e-3
