@@ -291,6 +291,32 @@ def save_model_state(model, path: str):
         pickle.dump(leaves, f)
 
 
+def save_checkpoint_orbax(model, directory: str, step: int = 0):
+    """Orbax checkpoint of the model's leaves (async-capable, sharded-array
+    aware — the option for multi-host runs).  The pickle path above remains
+    the default for single-host runs."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    leaves = jax.tree_util.tree_leaves(model)
+    ckptr.save(os.path.join(os.path.abspath(directory), f"step_{step}"),
+               {"leaves": [l for l in leaves]})
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint_orbax(model, directory: str, step: int = 0):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    leaves = jax.tree_util.tree_leaves(model)
+    restored = ckptr.restore(
+        os.path.join(os.path.abspath(directory), f"step_{step}"),
+        {"leaves": [np.asarray(l) for l in leaves]})
+    treedef = jax.tree_util.tree_structure(model)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(x) for x in restored["leaves"]])
+
+
 def load_model_state(model, path: str):
     """Restore checkpointed leaves into a structurally identical model.
 
