@@ -120,6 +120,37 @@ def measure_jax_evals_per_sec(n_evals: int = 20):
     return n_evals / (time.perf_counter() - t0)
 
 
+def measure_ensemble_steps_per_sec(n_seeds: int = 8, n_steps: int = 50):
+    """Vmapped multi-seed training throughput on one chip (the 'batched
+    multi-seed' scaling axis named in BASELINE.json).  Returns aggregate
+    model-steps/sec (seeds x optimizer steps / wall time)."""
+    import jax
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.models import build_colorless_fdn
+    from flamo_tpu.models.colorless_fdn import colorless_loss
+    from flamo_tpu.parallel import MultiSeedEnsemble
+    from flamo_tpu.utils import host_eager
+
+    flamo_tpu.set_seed(130709)
+    with host_eager():
+        ens = MultiSeedEnsemble(
+            lambda k: build_colorless_fdn(nfft=NFFT, delays=DELAYS, key=k),
+            n_seeds=n_seeds)
+        M = NFFT // 2 + 1
+        inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+        targets = jnp.ones((1, M, 1))
+    dev = jax.devices()[0]
+    ens.stacked = jax.device_put(ens.stacked, dev)
+    inputs, targets = jax.device_put((inputs, targets), dev)
+    # warmup/compile with the SAME scan length (avoids a retrace in timing)
+    ens.fit(colorless_loss, inputs, targets, n_steps=n_steps)
+    t0 = time.perf_counter()
+    ens.fit(colorless_loss, inputs, targets, n_steps=n_steps)
+    dt = time.perf_counter() - t0
+    return n_seeds * n_steps / dt
+
+
 def measure_torch_baseline(n_steps: int = 10):
     """Same mathematical train step in PyTorch on CPU (the reference's
     execution model: eager torch, float32) — independent implementation of
@@ -200,9 +231,11 @@ def main():
     if args.all:
         single_sps, _ = measure_jax_steps_per_sec(args.steps)
         evals = measure_jax_evals_per_sec()
+        ens_sps = measure_ensemble_steps_per_sec()
         extra = {
             "single_dispatch_steps_per_sec": round(single_sps, 3),
             "freq_response_evals_per_sec": round(evals, 3),
+            "ensemble8_model_steps_per_sec": round(ens_sps, 3),
             "torch_cpu_baseline_steps_per_sec": round(baseline, 3),
             "final_loss": final_loss,
         }

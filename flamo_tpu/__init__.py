@@ -30,6 +30,10 @@ from flamo_tpu import ops
 
 # convenience re-exports mirroring the reference's `from flamo import ...` surface
 from flamo_tpu.functional import *  # noqa: F401,F403
-from flamo_tpu.utils import set_seed, next_key, to_complex, save_audio
+from flamo_tpu.utils import (
+    set_seed, next_key, to_complex, save_audio, get_device, host_eager,
+    enable_x64,
+)
+from flamo_tpu import models
 
 __version__ = "0.1.0"

@@ -30,6 +30,15 @@ def hadamard_matrix(N: int):
     return X
 
 
+def shift_mat_distribute(X, sparsity: int, pulse_size: int, key=None):
+    """Non-overlapping random shifts for one stage
+    (reference scattering.py:221-228)."""
+    N = np.asarray(X).shape[0]
+    rand = np.asarray(jax.random.uniform(next_key(key), (N,)))
+    rand_shift = np.floor(sparsity * (np.arange(N) + rand * 0.99))
+    return (rand_shift * pulse_size).astype(np.int64)
+
+
 def get_random_shifts(N: int, sparsity_vect, pulse_size: int = 1, key=None):
     """Random non-overlapping integer shifts per stage
     (reference scattering.py:225-240).  Returns an int numpy array

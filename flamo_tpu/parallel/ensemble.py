@@ -51,18 +51,12 @@ class MultiSeedEnsemble:
                 self.stacked)
         self.mask = trainable_mask(self.template)
         self.losses = None
+        self._run_cache = {}
 
-    def fit(self, loss_fn: Callable, inputs, targets, n_steps: int = 100,
-            lr: float = 1e-3):
-        """loss_fn(model, inputs, targets) -> scalar; vmapped over seeds."""
+    def _build_runner(self, loss_fn, n_steps, lr):
         tx = optax.adam(lr)
 
-        def per_seed_init(model):
-            return tx.init(model)
-
-        opt_state = jax.vmap(per_seed_init)(self.stacked)
-
-        def one_step(model, opt_state):
+        def one_step(model, opt_state, inputs, targets):
             def lf(m):
                 return loss_fn(m, inputs, targets)
 
@@ -73,20 +67,33 @@ class MultiSeedEnsemble:
             model = optax.apply_updates(model, updates)
             return model, opt_state, loss
 
-        vstep = jax.vmap(one_step)
+        vstep = jax.vmap(one_step, in_axes=(0, 0, None, None))
 
         @jax.jit
-        def run(model, opt_state):
+        def run(model, opt_state, inputs, targets):
             def body(carry, _):
                 model, opt_state = carry
-                model, opt_state, loss = vstep(model, opt_state)
+                model, opt_state, loss = vstep(model, opt_state, inputs,
+                                               targets)
                 return (model, opt_state), loss
 
             (model, opt_state), losses = jax.lax.scan(
                 body, (model, opt_state), None, length=n_steps)
             return model, opt_state, losses
 
-        self.stacked, _, losses = run(self.stacked, opt_state)
+        return tx, run
+
+    def fit(self, loss_fn: Callable, inputs, targets, n_steps: int = 100,
+            lr: float = 1e-3):
+        """loss_fn(model, inputs, targets) -> scalar; vmapped over seeds.
+        The compiled runner is cached per (loss_fn, n_steps, lr)."""
+        key = (loss_fn, int(n_steps), float(lr))
+        if key not in self._run_cache:
+            self._run_cache[key] = self._build_runner(loss_fn, n_steps, lr)
+        tx, run = self._run_cache[key]
+        opt_state = jax.vmap(tx.init)(self.stacked)
+        self.stacked, _, losses = run(self.stacked, opt_state, inputs,
+                                      targets)
         self.losses = losses  # (n_steps, n_seeds)
         return losses
 

@@ -21,6 +21,12 @@ from flamo_tpu.core import complex_dtype_for
 _GLOBAL_KEY = [jax.random.PRNGKey(0)]
 
 
+def get_device():
+    """Default accelerator device (API parity with reference
+    flamo/utils.py:7-9; placement is otherwise implicit in JAX)."""
+    return jax.devices()[0]
+
+
 def set_seed(seed: int) -> None:
     """Seed the global key stream (UX counterpart of ``torch.manual_seed``)."""
     _GLOBAL_KEY[0] = jax.random.PRNGKey(int(seed))
