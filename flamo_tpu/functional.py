@@ -535,7 +535,10 @@ def WGN_reverb(matrix_size: tuple = (1, 1), t60: float = 1.0,
     decay = jnp.exp(-1 / dr * jnp.linspace(0, t60, n_samples, dtype=dtype))
     IRs = noise * decay.reshape(-1, *([1] * len(matrix_size)))
     TFs = jnp.fft.rfft(IRs, n=n_samples, axis=0)
-    b, a = bandpass_filter(jnp.asarray([20.0]), jnp.asarray([20000.0]),
+    # reference hardcodes a 20 Hz - 20 kHz band (functional.py:1056-1058);
+    # clamp the upper edge below Nyquist so low sample rates stay finite
+    f_hi = min(20000.0, 0.95 * samplerate / 2)
+    b, a = bandpass_filter(jnp.asarray([20.0]), jnp.asarray([f_hi]),
                            jnp.asarray([1.0]), fs=samplerate, dtype=dtype)
     sos = jnp.concatenate([b.reshape(1, 3), a.reshape(1, 3)], axis=1)
     bp_H = sosfreqz(sos=sos, nfft=n_samples).squeeze()

@@ -1,3 +1,6 @@
 from flamo_tpu.models.colorless_fdn import (
     build_colorless_fdn, colorless_loss, colorless_train_step,
 )
+from flamo_tpu.models.active_acoustics import (
+    build_active_acoustics, gain_before_instability, open_loop_eigenvalues,
+)
