@@ -26,7 +26,8 @@ def build_active_acoustics(n_mics: int = 4, n_loudspeakers: int = 13,
                            rir_length: int = 15000, fir_order: int = 100,
                            nfft: int = 96000, fs: int = 48000,
                            room_irs=None, t60: float = 0.5,
-                           alias_decay_db: float = 0.0, key=None):
+                           alias_decay_db: float = 0.0,
+                           cache_room: bool = True, key=None):
     """Shell(FFT -> Recursion(room, mixing FIR) -> identity).
 
     room_irs: (rir_length, n_mics, n_loudspeakers) measured IR matrix, or
@@ -44,6 +45,10 @@ def build_active_acoustics(n_mics: int = 4, n_loudspeakers: int = 13,
     room = dsp.Filter(size=(rir_length, n_mics, n_loudspeakers), nfft=nfft,
                       requires_grad=False, alias_decay_db=alias_decay_db)
     room = room.assign_value(room_irs)
+    if cache_room:
+        # the room is frozen: precompute its (M, mics, lds) response once
+        # instead of re-rffting 15000-tap IRs inside every training step
+        room = dsp.CachedResponse(room)
 
     mixer = dsp.Filter(size=(fir_order, n_loudspeakers, n_mics), nfft=nfft,
                        requires_grad=True, alias_decay_db=alias_decay_db,

@@ -147,8 +147,15 @@ class Trainer:
         if self._jitted_step is None:
             self._build_step(steps_per_epoch)
 
+        try:
+            from tqdm import trange
+
+            epochs = trange(self.max_epochs, desc="Training")
+        except ImportError:
+            epochs = range(self.max_epochs)
+
         st = time.time()
-        for epoch in range(self.max_epochs):
+        for epoch in epochs:
             st_epoch = time.time()
             profiling = self.profile_dir is not None and epoch == 1
             if profiling:  # epoch 0 compiles; trace the steady state

@@ -1465,3 +1465,47 @@ Delay.matrix_response = _mr_full
 parallelDelay.matrix_response = _mr_diag
 GainDelay.matrix_response = _mr_full
 parallelGainDelay.matrix_response = _mr_diag
+
+
+class CachedResponse(Module):
+    """Precomputed-response wrapper for FROZEN (non-trainable) modules.
+
+    A module whose parameters never change during training still pays its
+    full param->response computation inside every jitted step (XLA cannot
+    constant-fold traced pytree leaves).  ``CachedResponse(module)``
+    evaluates the response ONCE at wrap time and stores it as a leaf; the
+    wrapped forward is just the per-bin contraction.  For the active-
+    acoustics room (52 length-96000 rffts of measured IRs per step) this
+    removes the dominant cost of the training step.
+
+    The wrapper preserves the module protocol: __call__, matrix_response,
+    probe on the rfft grid is NOT available (use the original module for
+    arbitrary-z probing).
+    """
+
+    leaf_fields = ("H",)
+
+    def __init__(self, module, ext_param=None):
+        assert not getattr(module, "trainable", False), (
+            "CachedResponse is for frozen modules; a trainable module's "
+            "response must be recomputed from its parameters every step."
+        )
+        kind, H = module.matrix_response(ext_param) if ext_param is not None \
+            else module.matrix_response()
+        self.kind = kind
+        self.H = H
+        self.nfft = module.nfft
+        self.M = module.nfft // 2 + 1
+        self.alias_decay_db = module.alias_decay_db
+        self.dtype = module.dtype
+        self.input_channels = module.input_channels
+        self.output_channels = module.output_channels
+        self.trainable = False
+
+    def __call__(self, x, ext_param=None):
+        from flamo_tpu.ops import linop
+
+        return linop.apply(self.kind, self.H, x)
+
+    def matrix_response(self, ext_param=None):
+        return self.kind, self.H
