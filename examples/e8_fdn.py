@@ -48,9 +48,33 @@ def main(args):
     dl = dsp.parallelDelay(size=(N,), max_len=max(delays), nfft=nfft,
                            isint=True, alias_decay_db=alias_db)
     dl = dl.assign_value(dl.sample2s(jnp.asarray(delays, jnp.float32)))
-    atten = parallelFDNGEQ(octave_interval=1, nfft=nfft, fs=args.samplerate,
-                           delays=jnp.asarray(delays), requires_grad=True,
-                           alias_decay_db=alias_db)
+    if args.attenuation == "geq":
+        atten = parallelFDNGEQ(octave_interval=1, nfft=nfft,
+                               fs=args.samplerate,
+                               delays=jnp.asarray(delays),
+                               requires_grad=True,
+                               alias_decay_db=alias_db)
+    elif args.attenuation == "accurate_geq":
+        from flamo_tpu.auxiliary.reverb import parallelFDNAccurateGEQ
+
+        atten = parallelFDNAccurateGEQ(octave_interval=1, nfft=nfft,
+                                       fs=args.samplerate,
+                                       delays=jnp.asarray(delays),
+                                       alias_decay_db=alias_db)
+    elif args.attenuation == "peq":
+        from flamo_tpu.auxiliary.reverb import parallelFDNPEQ
+
+        atten = parallelFDNPEQ(n_bands=6, delays=jnp.asarray(delays),
+                               nfft=nfft, fs=args.samplerate,
+                               requires_grad=True,
+                               alias_decay_db=alias_db)
+    else:  # shelving
+        from flamo_tpu.auxiliary.reverb import parallelFirstOrderShelving
+
+        atten = parallelFirstOrderShelving(nfft=nfft, fs=args.samplerate,
+                                           delays=jnp.asarray(delays),
+                                           requires_grad=True,
+                                           alias_decay_db=alias_db)
     fb = dsp.Matrix(size=(N, N), nfft=nfft, matrix_type="orthogonal",
                     requires_grad=True, alias_decay_db=alias_db)
     loop = system.Recursion(
@@ -80,5 +104,7 @@ if __name__ == "__main__":
                         lr=1e-3)
     ap.add_argument("--rir", type=str, default=None,
                     help="path to a measured RIR wav (optional)")
+    ap.add_argument("--attenuation", type=str, default="geq",
+                    choices=["geq", "accurate_geq", "peq", "shelving"])
     args = setup(ap.parse_args())
     main(args)

@@ -651,3 +651,10 @@ class parallelFirstOrderShelving(dsp.parallelFilter):
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
+
+
+# parallelFDNPEQ subclasses Filter (MIMO) but produces a DIAGONAL per-bin
+# response (one filter per delay line) — register the diag operator kind.
+from flamo_tpu.processor.dsp import _mr_diag as _reverb_mr_diag  # noqa: E402
+
+parallelFDNPEQ.matrix_response = _reverb_mr_diag

@@ -713,13 +713,18 @@ class Shell(Module):
 
         identity=True diag-embeds the input for input-free IRs."""
         env = self._alias_undo_envelope()
-        tmp = self.replace(
-            input_layer=FFT(self.nfft, dtype=self.dtype),
-            output_layer=Series(
-                iFFT(self.nfft, dtype=self.dtype),
-                Transform(lambda x: x * (env if x.ndim == 3 else env[..., None])),
-            ),
-        )
+        with warnings.catch_warnings():
+            # the temporary iFFT+envelope Series has no alias_decay_db
+            # attribute to check — suppress the spurious coherence warning
+            warnings.simplefilter("ignore")
+            tmp = self.replace(
+                input_layer=FFT(self.nfft, dtype=self.dtype),
+                output_layer=Series(
+                    iFFT(self.nfft, dtype=self.dtype),
+                    Transform(lambda x: x * (env if x.ndim == 3
+                                             else env[..., None])),
+                ),
+            )
         x = signal_gallery(batch_size=1, n_samples=self.nfft,
                            n=self.input_channels, signal_type="impulse",
                            fs=fs, dtype=self.dtype)

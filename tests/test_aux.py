@@ -230,3 +230,18 @@ def test_velvet_noise_filter():
     assert not np.allclose(np.asarray(v2.param), p)
     H = v.response()
     assert H.shape == (513, 2, 1)
+
+
+def test_fdn_attenuation_matrix_response_kinds():
+    """All FDN attenuation filters are diagonal per-bin operators."""
+    delays = jnp.asarray([89, 97])
+    mods = [
+        reverb.parallelFDNGEQ(octave_interval=1, nfft=512, fs=48000,
+                              delays=delays),
+        reverb.parallelFDNPEQ(n_bands=4, delays=delays, nfft=512, fs=48000),
+        reverb.parallelFirstOrderShelving(nfft=512, fs=48000, delays=delays),
+    ]
+    for m in mods:
+        kind, H = m.matrix_response()
+        assert kind == "diag", type(m).__name__
+        assert H.shape == (257, 2), type(m).__name__
