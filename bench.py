@@ -151,6 +151,61 @@ def measure_ensemble_steps_per_sec(n_seeds: int = 8, n_steps: int = 50):
     return n_seeds * n_steps / dt
 
 
+def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3):
+    """Second headline workload (BASELINE.md): active acoustics, 4 mics x
+    13 loudspeakers, RIR length 15000, FIR order 100, nfft=96000."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import flamo_tpu
+    from flamo_tpu.core import trainable_mask
+    from flamo_tpu.models import build_active_acoustics
+    from flamo_tpu.utils import host_eager
+
+    flamo_tpu.set_seed(130297)
+    with host_eager():
+        m = build_active_acoustics(n_mics=4, n_loudspeakers=13,
+                                   rir_length=15000, fir_order=100,
+                                   nfft=NFFT, fs=48000, t60=0.5)
+        M = NFFT // 2 + 1
+        x = jnp.zeros((1, NFFT, 13)).at[:, 0, :].set(1.0)
+        target = jnp.ones((1, M, 4))
+        tx = optax.adam(1e-3)
+        mask = trainable_mask(m)
+        opt_state = tx.init(m)
+    dev = jax.devices()[0]
+    m, opt_state, x, target = jax.device_put((m, opt_state, x, target), dev)
+
+    def loss_fn(m):
+        est = jnp.abs(m(x))
+        return jnp.mean((est - target) ** 2)
+
+    def step(m, opt_state):
+        loss, g = jax.value_and_grad(loss_fn)(m)
+        g = jax.tree_util.tree_map(
+            lambda gr, msk: gr if msk else jnp.zeros_like(gr), g, mask)
+        updates, opt_state = tx.update(g, opt_state, m)
+        return optax.apply_updates(m, updates), opt_state, loss
+
+    def multi(m, o):
+        def body(c, _):
+            m, o = c
+            m, o, l = step(m, o)
+            return (m, o), l
+
+        (m, o), ls = jax.lax.scan(body, (m, o), None, length=k)
+        return m, o, ls[-1]
+
+    jm = jax.jit(multi, donate_argnums=(0, 1))
+    m, opt_state, loss = jm(m, opt_state)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        m, opt_state, loss = jm(m, opt_state)
+    jax.block_until_ready(loss)
+    return n_calls * k / (time.perf_counter() - t0)
+
+
 def measure_torch_baseline(n_steps: int = 10):
     """Same mathematical train step in PyTorch on CPU (the reference's
     execution model: eager torch, float32) — independent implementation of
@@ -232,10 +287,12 @@ def main():
         single_sps, _ = measure_jax_steps_per_sec(args.steps)
         evals = measure_jax_evals_per_sec()
         ens_sps = measure_ensemble_steps_per_sec()
+        aa_sps = measure_active_acoustics_steps_per_sec()
         extra = {
             "single_dispatch_steps_per_sec": round(single_sps, 3),
             "freq_response_evals_per_sec": round(evals, 3),
             "ensemble8_model_steps_per_sec": round(ens_sps, 3),
+            "active_acoustics_steps_per_sec": round(aa_sps, 3),
             "torch_cpu_baseline_steps_per_sec": round(baseline, 3),
             "final_loss": final_loss,
         }
