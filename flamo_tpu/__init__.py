@@ -22,7 +22,8 @@ Reference layer map: /root/reference (see SURVEY.md for file:line citations).
 """
 
 from flamo_tpu import core, functional, utils
-from flamo_tpu.processor import dsp, system
+from flamo_tpu.processor import dsp, system  # noqa: F401 — also usable as
+# `from flamo_tpu import dsp, system` like the reference's root exports
 from flamo_tpu import optimize
 from flamo_tpu import auxiliary
 from flamo_tpu import parallel

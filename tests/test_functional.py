@@ -196,3 +196,12 @@ def test_probe_sos_matches_direct():
                           nfft=1024, fs=48000, dtype=jnp.float64)
     assert G.shape == (2, 2)
     assert H.shape == (513, 2)
+
+
+def test_find_onset():
+    rir = np.zeros(2048, dtype=np.float32)
+    onset = 500
+    rir[onset:onset + 200] = np.random.default_rng(0).normal(
+        size=200).astype(np.float32) * np.exp(-np.arange(200) / 40)
+    est = F.find_onset(jnp.asarray(rir))
+    assert abs(est - onset) < 64  # within one window of the true onset
