@@ -205,12 +205,25 @@ class Series(Module):
 
 def _ext_for(ext_param: dict, key: str):
     """Pick the ext_param entry for a child: exact key or 'key.sub' prefix."""
-    if ext_param is None:
+    if ext_param is None or not isinstance(ext_param, dict):
         return None
     if key in ext_param:
         return ext_param[key]
     sub = {k[len(key) + 1:]: v for k, v in ext_param.items()
            if k.startswith(key + ".")}
+    return sub or None
+
+
+def _branch_ext(ext_param, prefix: str):
+    """Per-branch ext payload for Recursion/Parallel: the branch's own raw
+    params ('feedback': value) or a nested sub-dict
+    ('feedforward.attenuation': value -> {'attenuation': value})."""
+    if ext_param is None or not isinstance(ext_param, dict):
+        return None
+    if prefix in ext_param:
+        return ext_param[prefix]
+    sub = {k[len(prefix) + 1:]: v for k, v in ext_param.items()
+           if k.startswith(prefix + ".")}
     return sub or None
 
 
@@ -347,13 +360,8 @@ class Recursion(Module):
         return ff_in, ff_out
 
     def __call__(self, x, ext_param: Optional[dict] = None):
-        ext_ff = ext_fb = None
-        if ext_param is not None:
-            for key, value in ext_param.items():
-                if "feedback" in key:
-                    ext_fb = value
-                elif "feedforward" in key:
-                    ext_ff = value
+        ext_ff = _branch_ext(ext_param, "feedforward")
+        ext_fb = _branch_ext(ext_param, "feedback")
 
         B = (self.feedforward(x, ext_ff) if ext_ff is not None
              else self.feedforward(x))
@@ -385,13 +393,8 @@ class Recursion(Module):
 
     def matrix_response(self, ext_param=None):
         """Closed-loop per-bin map (I - F B)^{-1} F as a dense operator."""
-        ext_ff = ext_fb = None
-        if ext_param is not None:
-            for key, value in ext_param.items():
-                if "feedback" in key:
-                    ext_fb = value
-                elif "feedforward" in key:
-                    ext_ff = value
+        ext_ff = _branch_ext(ext_param, "feedforward")
+        ext_fb = _branch_ext(ext_param, "feedback")
         rF = _matrix_response_of(self.feedforward, ext_ff)
         rB = _matrix_response_of(self.feedback, ext_fb)
         if rF is None or rB is None:
@@ -511,13 +514,8 @@ class Parallel(Module):
         return a_in, a_out + b_out
 
     def __call__(self, x, ext_param: Optional[dict] = None):
-        ext_a = ext_b = None
-        if ext_param is not None:
-            for key, value in ext_param.items():
-                if "branchA" in key:
-                    ext_a = value
-                elif "branchB" in key:
-                    ext_b = value
+        ext_a = _branch_ext(ext_param, "branchA")
+        ext_b = _branch_ext(ext_param, "branchB")
         YA = self.branchA(x, ext_a) if ext_a is not None else self.branchA(x)
         YB = self.branchB(x, ext_b) if ext_b is not None else self.branchB(x)
         if self.sum_output:
@@ -525,13 +523,8 @@ class Parallel(Module):
         return jnp.concatenate((YA, YB), axis=2)
 
     def matrix_response(self, ext_param=None):
-        ext_a = ext_b = None
-        if ext_param is not None:
-            for key, value in ext_param.items():
-                if "branchA" in key:
-                    ext_a = value
-                elif "branchB" in key:
-                    ext_b = value
+        ext_a = _branch_ext(ext_param, "branchA")
+        ext_b = _branch_ext(ext_param, "branchB")
         rA = _matrix_response_of(self.branchA, ext_a)
         rB = _matrix_response_of(self.branchB, ext_b)
         if rA is None or rB is None:
