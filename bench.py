@@ -37,9 +37,10 @@ def measure_jax_steps_per_sec(n_steps: int = 30):
         M = NFFT // 2 + 1
         inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
         targets = jnp.ones((1, M, 1))
-    dev = jax.devices()[0]
-    model, opt_state, inputs, targets = jax.device_put(
-        (model, opt_state, inputs, targets), dev)
+    from flamo_tpu.utils import to_device
+
+    model, opt_state, inputs, targets = to_device(
+        (model, opt_state, inputs, targets))
     step = jax.jit(step, donate_argnums=(0, 1))
 
     # warmup / compile
@@ -70,9 +71,10 @@ def measure_jax_scan_steps_per_sec(k: int = 100, n_calls: int = 5):
         M = NFFT // 2 + 1
         inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
         targets = jnp.ones((1, M, 1))
-    dev = jax.devices()[0]
-    model, opt_state, inputs, targets = jax.device_put(
-        (model, opt_state, inputs, targets), dev)
+    from flamo_tpu.utils import to_device
+
+    model, opt_state, inputs, targets = to_device(
+        (model, opt_state, inputs, targets))
 
     def multi(model, opt_state, inputs, targets):
         def body(carry, _):
@@ -105,7 +107,9 @@ def measure_jax_evals_per_sec(n_evals: int = 20):
     flamo_tpu.set_seed(130709)
     with host_eager():
         model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
-    model = jax.device_put(model, jax.devices()[0])
+    from flamo_tpu.utils import to_device
+
+    model = to_device(model)
 
     @jax.jit
     def freq_response(mdl):
@@ -140,9 +144,10 @@ def measure_ensemble_steps_per_sec(n_seeds: int = 8, n_steps: int = 50):
         M = NFFT // 2 + 1
         inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
         targets = jnp.ones((1, M, 1))
-    dev = jax.devices()[0]
-    ens.stacked = jax.device_put(ens.stacked, dev)
-    inputs, targets = jax.device_put((inputs, targets), dev)
+    from flamo_tpu.utils import to_device
+
+    ens.stacked = to_device(ens.stacked)
+    inputs, targets = to_device((inputs, targets))
     # warmup/compile with the SAME scan length (avoids a retrace in timing)
     ens.fit(colorless_loss, inputs, targets, n_steps=n_steps)
     t0 = time.perf_counter()
@@ -173,8 +178,9 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3):
         tx = optax.adam(1e-3)
         mask = trainable_mask(m)
         opt_state = tx.init(m)
-    dev = jax.devices()[0]
-    m, opt_state, x, target = jax.device_put((m, opt_state, x, target), dev)
+    from flamo_tpu.utils import to_device
+
+    m, opt_state, x, target = to_device((m, opt_state, x, target))
 
     def loss_fn(m):
         est = jnp.abs(m(x))

@@ -199,19 +199,23 @@ class Trainer:
 
         if self._jitted_step is None:
             self._build_step(1)
+        if not hasattr(self, "_scan_cache"):
+            self._scan_cache = {}
+        if steps_per_call not in self._scan_cache:
+            def multi(model, opt_state, inputs, targets, step0, loss_state):
+                def body(carry, i):
+                    m, o = carry
+                    m, o, total, per = self._raw_step(m, o, inputs, targets,
+                                                      step0 + i, loss_state)
+                    return (m, o), total
 
-        def multi(model, opt_state, inputs, targets, step0, loss_state):
-            def body(carry, i):
-                m, o = carry
-                m, o, total, per = self._raw_step(m, o, inputs, targets,
-                                                  step0 + i, loss_state)
-                return (m, o), total
+                (model, opt_state), losses = jax.lax.scan(
+                    body, (model, opt_state), jnp.arange(steps_per_call))
+                return model, opt_state, losses
 
-            (model, opt_state), losses = jax.lax.scan(
-                body, (model, opt_state), jnp.arange(steps_per_call))
-            return model, opt_state, losses
-
-        jmulti = jax.jit(multi, donate_argnums=(0, 1))
+            self._scan_cache[steps_per_call] = jax.jit(
+                multi, donate_argnums=(0, 1))
+        jmulti = self._scan_cache[steps_per_call]
         history = []
         n_calls = max(1, n_steps // steps_per_call)
         for _ in range(n_calls):

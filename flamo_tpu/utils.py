@@ -55,6 +55,23 @@ def host_eager():
         yield
 
 
+def to_device(tree, device=None):
+    """Transfer a pytree to ``device`` leaf-by-leaf via host numpy buffers.
+
+    On the axon-tunneled backend, batched cross-backend ``jax.device_put``
+    of mixed-dtype pytrees intermittently fails with UNIMPLEMENTED; staging
+    through numpy one leaf at a time is reliable."""
+    if device is None:
+        device = jax.devices()[0]
+
+    def put(x):
+        if isinstance(x, (jax.Array, np.ndarray)):
+            return jax.device_put(np.asarray(x), device)
+        return x
+
+    return jax.tree_util.tree_map(put, tree)
+
+
 def enable_x64(enable: bool = True) -> None:
     """Opt into float64 (the reference examples default to float64 on CPU;
     TPU is float32-native so x64 runs on the CPU backend of each op)."""
