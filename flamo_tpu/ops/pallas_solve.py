@@ -1,18 +1,24 @@
-"""Pallas TPU kernel for the per-bin closed-loop solve.
+"""Pallas TPU kernels for the per-bin closed-loop solve.
 
-Solves ``A[m] y[m] = b[m]`` for every frequency bin m, with tiny static N
-(FDN channel counts) and huge M (~48001 bins).  The kernel tiles the bin
-axis onto the grid and performs the unrolled Gaussian elimination with
-partial pivoting entirely in VMEM, with every scalar of the elimination
-held as an (8, 128)-shaped vector register tile of bins.  Complex
-arithmetic is explicit re/im pairs (TPU has no native complex registers).
+Two kernels share one in-register Gaussian-elimination core:
 
-Layout: the caller passes bin-LAST arrays — A as (N, N, M), b as (N, M) —
-so each matrix entry is a contiguous lane-aligned vector of bins.
+* :func:`pallas_gauss_solve` — generic ``A[m] y[m] = b[m]`` for dense
+  per-bin matrices,
+* :func:`pallas_fdn_solve` — the FDN fast path ``(I - diag(D[m]) U) y[m]
+  = b[m]``: the loop matrix is ASSEMBLED IN REGISTERS from the delay-line
+  response D (M, N) and the frequency-flat mixing matrix U (N, N), so the
+  (M, N, N) matrix never touches HBM.
 
-A custom VJP makes the kernel differentiable: for ``y = A^{-1} b``,
-``b_bar = A^{-H} y_bar`` reuses the same kernel on the conjugate transpose
-and ``A_bar = -b_bar y^H`` is a per-bin outer product (plain XLA).
+Tiny static N (FDN channel counts), huge M (~48001 bins).  The bin axis is
+tiled onto the grid; every scalar of the elimination is an (8, 128) vector
+register tile of bins.  Complex arithmetic is explicit re/im pairs (TPU
+has no native complex registers).  Pivoting is select-based (branch-free,
+scatter-free VJPs).
+
+Custom VJPs (JAX cotangents transform by the UNconjugated transpose):
+  y = A^{-1} b:   b_bar = A^{-T} y_bar,  A_bar = -b_bar y^T
+  FDN:            D_bar[m,i] = b_bar[m,i] (U y[m])[i]
+                  U_bar[i,j] = sum_m b_bar[m,i] D[m,i] y[m,j]
 
 Use via ``Recursion(..., solve_method='pallas')`` or
 :func:`flamo_tpu.ops.solve.closed_loop_solve`.
@@ -32,75 +38,80 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 1024
 
 
-def _solve_kernel(N: int, ar_ref, ai_ref, br_ref, bi_ref, yr_ref, yi_ref):
-    """One bin-tile: unrolled complex GE with partial pivoting.
+# ---------------------------------------------------------------------------
+# in-register complex arithmetic + GE core (shared by both kernels)
+# ---------------------------------------------------------------------------
+def _cmul(x, y):
+    return (x[0] * y[0] - x[1] * y[1], x[0] * y[1] + x[1] * y[0])
 
-    refs: a* (N, N, TILE), b*/y* (N, TILE)."""
-    shape = (TILE // 128, 128)
 
-    def load(ref, *idx):
-        return ref[idx].reshape(shape)
+def _csub(x, y):
+    return (x[0] - y[0], x[1] - y[1])
 
-    # registers: lists of (re, im) tiles
-    A = [[(load(ar_ref, i, j), load(ai_ref, i, j)) for j in range(N)]
-         for i in range(N)]
-    b = [(load(br_ref, i), load(bi_ref, i)) for i in range(N)]
 
-    def cmul(x, y):
-        return (x[0] * y[0] - x[1] * y[1], x[0] * y[1] + x[1] * y[0])
+def _cdiv(x, y):
+    den = y[0] * y[0] + y[1] * y[1]
+    inv = 1.0 / den
+    return ((x[0] * y[0] + x[1] * y[1]) * inv,
+            (x[1] * y[0] - x[0] * y[1]) * inv)
 
-    def csub(x, y):
-        return (x[0] - y[0], x[1] - y[1])
 
-    def cdiv(x, y):
-        den = y[0] * y[0] + y[1] * y[1]
-        inv = 1.0 / den
-        return ((x[0] * y[0] + x[1] * y[1]) * inv,
-                (x[1] * y[0] - x[0] * y[1]) * inv)
+def _cabs2(x):
+    return x[0] * x[0] + x[1] * x[1]
 
-    def cabs2(x):
-        return x[0] * x[0] + x[1] * x[1]
 
-    def csel(mask, x, y):
-        return (jnp.where(mask, x[0], y[0]), jnp.where(mask, x[1], y[1]))
+def _csel(mask, x, y):
+    return (jnp.where(mask, x[0], y[0]), jnp.where(mask, x[1], y[1]))
 
+
+def _ge_core(A, b, N, shape):
+    """Unrolled complex Gaussian elimination with select-based partial
+    pivoting.  A: NxN list-of-lists of (re, im) tiles; b: N list."""
     for k in range(N):
-        # partial pivoting over rows k..N-1 (select-based, branch-free):
-        # track the running-argmax row index per bin, accumulate the pivot
-        # row contents, then swap by mask.
-        best = cabs2(A[k][k])
+        best = _cabs2(A[k][k])
         piv_idx = jnp.full(shape, k, dtype=jnp.int32)
         pa = [A[k][j] for j in range(N)]
         pb = b[k]
         for i in range(k + 1, N):
-            cand = cabs2(A[i][k])
+            cand = _cabs2(A[i][k])
             better = cand > best
             best = jnp.where(better, cand, best)
             piv_idx = jnp.where(better, i, piv_idx)
-            pa = [csel(better, A[i][j], pa[j]) for j in range(N)]
-            pb = csel(better, b[i], pb)
-        # the row that supplied the pivot receives old row k
+            pa = [_csel(better, A[i][j], pa[j]) for j in range(N)]
+            pb = _csel(better, b[i], pb)
         for i in range(k + 1, N):
             m = piv_idx == i
-            A[i] = [csel(m, A[k][j], A[i][j]) for j in range(N)]
-            b[i] = csel(m, b[k], b[i])
+            A[i] = [_csel(m, A[k][j], A[i][j]) for j in range(N)]
+            b[i] = _csel(m, b[k], b[i])
         A[k] = pa
         b[k] = pb
-        # eliminate below the pivot
         for i in range(k + 1, N):
-            f = cdiv(A[i][k], A[k][k])
+            f = _cdiv(A[i][k], A[k][k])
             for j in range(k + 1, N):
-                A[i][j] = csub(A[i][j], cmul(f, A[k][j]))
-            b[i] = csub(b[i], cmul(f, b[k]))
+                A[i][j] = _csub(A[i][j], _cmul(f, A[k][j]))
+            b[i] = _csub(b[i], _cmul(f, b[k]))
 
-    # back substitution
     y = [None] * N
     for i in range(N - 1, -1, -1):
         acc = b[i]
         for j in range(i + 1, N):
-            acc = csub(acc, cmul(A[i][j], y[j]))
-        y[i] = cdiv(acc, A[i][i])
+            acc = _csub(acc, _cmul(A[i][j], y[j]))
+        y[i] = _cdiv(acc, A[i][i])
+    return y
 
+
+# ---------------------------------------------------------------------------
+# generic dense solve kernel
+# ---------------------------------------------------------------------------
+def _solve_kernel(N: int, ar_ref, ai_ref, br_ref, bi_ref, yr_ref, yi_ref):
+    """One bin-tile.  refs: a* (N, N, TILE), b*/y* (N, TILE)."""
+    shape = (TILE // 128, 128)
+
+    A = [[(ar_ref[i, j].reshape(shape), ai_ref[i, j].reshape(shape))
+          for j in range(N)] for i in range(N)]
+    b = [(br_ref[i].reshape(shape), bi_ref[i].reshape(shape))
+         for i in range(N)]
+    y = _ge_core(A, b, N, shape)
     for i in range(N):
         yr_ref[i] = y[i][0].reshape(-1)
         yi_ref[i] = y[i][1].reshape(-1)
@@ -126,21 +137,18 @@ def _pallas_solve_ml(ar, ai, br, bi):
 
 
 def _solve_bins_last(A, B):
-    """A (M, N, N) complex, B (M, N) complex -> y (M, N) complex, via the
-    bin-last Pallas kernel with padding to a TILE multiple."""
+    """A (M, N, N) complex, B (M, N) complex -> y (M, N) complex."""
     M, N, _ = A.shape
     Mp = ((M + TILE - 1) // TILE) * TILE
     pad = Mp - M
-    # transpose to bin-last and split complex
     At = jnp.transpose(A, (1, 2, 0))
     Bt = jnp.transpose(B, (1, 0))
     if pad:
-        # pad with identity systems (solution 0)
         eye = jnp.eye(N, dtype=A.dtype)[:, :, None]
         At = jnp.concatenate(
             [At, jnp.broadcast_to(eye, (N, N, pad))], axis=2)
         Bt = jnp.concatenate([Bt, jnp.zeros((N, pad), dtype=B.dtype)],
-                             axis=2 - 1)
+                             axis=1)
     yr, yi = _pallas_solve_ml(jnp.real(At), jnp.imag(At),
                               jnp.real(Bt), jnp.imag(Bt))
     y = (yr + 1j * yi)[:, :M]
@@ -172,12 +180,9 @@ def _solve_fwd(A, B):
 
 def _solve_bwd(res, y_bar):
     A, y = res
-    # JAX cotangents transform by the UNconjugated transpose: for
-    # y = A^{-1} b,  b_bar = A^{-T} y_bar  and  A_bar = -b_bar y^T.
     AT = jnp.swapaxes(A, -1, -2)
     b_bar = _solve_impl(AT, y_bar)
     A_bar = -jnp.einsum("...i,...j->...ij", b_bar, y)
-    # reduce over broadcasted batch dims of A
     extra = b_bar.ndim - (A.ndim - 1)
     if extra > 0:
         A_bar = jnp.sum(A_bar, axis=tuple(range(extra)))
@@ -185,3 +190,107 @@ def _solve_bwd(res, y_bar):
 
 
 pallas_gauss_solve.defvjp(_solve_fwd, _solve_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused FDN-loop kernel: assemble I - diag(D) U in registers + solve
+# ---------------------------------------------------------------------------
+def _fdn_kernel(N: int, transpose: bool, dr_ref, di_ref, u_ref,
+                br_ref, bi_ref, yr_ref, yi_ref):
+    """One bin-tile of the fused FDN solve.
+
+    refs: d*/b*/y* (N, TILE); u (N, N) frequency-flat real mixing matrix.
+    transpose=False: A = I - diag(D) U (rows of U scaled by D[i]).
+    transpose=True:  A = (I - diag(D) U)^T = I - U^T diag(D)
+                     (A[i][j] = delta_ij - U[j, i] D[j])."""
+    shape = (TILE // 128, 128)
+
+    D = [(dr_ref[i].reshape(shape), di_ref[i].reshape(shape))
+         for i in range(N)]
+    b = [(br_ref[i].reshape(shape), bi_ref[i].reshape(shape))
+         for i in range(N)]
+
+    A = []
+    for i in range(N):
+        row = []
+        for j in range(N):
+            if transpose:
+                u = u_ref[j, i]
+                d = D[j]
+            else:
+                u = u_ref[i, j]
+                d = D[i]
+            re = -d[0] * u
+            im = -d[1] * u
+            if i == j:
+                re = re + 1.0
+            row.append((re, im))
+        A.append(row)
+
+    y = _ge_core(A, b, N, shape)
+    for i in range(N):
+        yr_ref[i] = y[i][0].reshape(-1)
+        yi_ref[i] = y[i][1].reshape(-1)
+
+
+def _pallas_fdn_ml(dr, di, u, br, bi, transpose: bool):
+    N, Mp = dr.shape
+    grid = (Mp // TILE,)
+    vec_spec = pl.BlockSpec((N, TILE), lambda m: (0, m),
+                            memory_space=pltpu.VMEM)
+    u_spec = pl.BlockSpec((N, N), lambda m: (0, 0),
+                          memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((N, Mp), dr.dtype)] * 2
+    yr, yi = pl.pallas_call(
+        partial(_fdn_kernel, N, transpose),
+        grid=grid,
+        in_specs=[vec_spec, vec_spec, u_spec, vec_spec, vec_spec],
+        out_specs=[vec_spec, vec_spec],
+        out_shape=out_shape,
+    )(dr, di, u, br, bi)
+    return yr, yi
+
+
+def _fdn_impl(D, U, B, transpose=False):
+    """D (M, N) complex, U (N, N) real, B (M, N) complex -> y (M, N)."""
+    M, N = D.shape
+    Mp = ((M + TILE - 1) // TILE) * TILE
+    pad = Mp - M
+    Dt = jnp.transpose(D, (1, 0))
+    Bt = jnp.transpose(B, (1, 0))
+    if pad:
+        # pad with D=0 -> A=I -> y=0 for the padded bins
+        Dt = jnp.concatenate([Dt, jnp.zeros((N, pad), Dt.dtype)], axis=1)
+        Bt = jnp.concatenate([Bt, jnp.zeros((N, pad), Bt.dtype)], axis=1)
+    yr, yi = _pallas_fdn_ml(jnp.real(Dt), jnp.imag(Dt),
+                            U.astype(jnp.real(Dt).dtype),
+                            jnp.real(Bt), jnp.imag(Bt), transpose)
+    y = (yr + 1j * yi)[:, :M]
+    return jnp.transpose(y, (1, 0))
+
+
+@jax.custom_vjp
+def pallas_fdn_solve(D, U, B):
+    """Fused FDN closed-loop solve: ``(I - diag(D[m]) U) y[m] = B[m]``.
+
+    D: (M, N) complex delay-line responses; U: (N, N) real mixing matrix;
+    B: (M, N) complex rhs.  The per-bin loop matrix lives only in vector
+    registers — zero HBM traffic for the (M, N, N) assembly."""
+    return _fdn_impl(D, U, B)
+
+
+def _fdn_fwd(D, U, B):
+    y = _fdn_impl(D, U, B)
+    return y, (D, U, y)
+
+
+def _fdn_bwd(res, y_bar):
+    D, U, y = res
+    b_bar = _fdn_impl(D, U, y_bar, transpose=True)
+    Uy = jnp.einsum("ij,mj->mi", U.astype(y.dtype), y)
+    D_bar = b_bar * Uy
+    U_bar = jnp.real(jnp.einsum("mi,mi,mj->ij", b_bar, D, y))
+    return D_bar, U_bar, b_bar
+
+
+pallas_fdn_solve.defvjp(_fdn_fwd, _fdn_bwd)

@@ -115,3 +115,49 @@ def test_pallas_solve_grad(pallas_interpret):
     for a, b in zip(g1, g2):
         rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
         assert rel < 1e-3
+
+
+def test_pallas_fdn_solve_forward(pallas_interpret):
+    ps = pallas_interpret
+    rng = np.random.default_rng(11)
+    M, N = 300, 4
+    # delay-line-like responses |D| < 1 and an orthogonal mixing matrix
+    phase = rng.uniform(0, 2 * np.pi, (M, N))
+    D = jnp.asarray((0.9 * np.exp(1j * phase)).astype(np.complex64))
+    from flamo_tpu.functional import expm_skew
+
+    U = expm_skew(jnp.asarray(rng.normal(size=(N, N)).astype(np.float32)))
+    B = jnp.asarray((rng.normal(size=(M, N))
+                     + 1j * rng.normal(size=(M, N))).astype(np.complex64))
+    y = ps.pallas_fdn_solve(D, U, B)
+    A = (jnp.eye(N, dtype=jnp.complex64)[None]
+         - D[:, :, None] * U[None].astype(jnp.complex64))
+    y_ref = jnp.linalg.solve(A, B[..., None])[..., 0]
+    assert float(jnp.abs(y - y_ref).max()) < 1e-4
+
+
+def test_pallas_fdn_solve_grad(pallas_interpret):
+    ps = pallas_interpret
+    rng = np.random.default_rng(12)
+    M, N = 256, 3
+    phase = rng.uniform(0, 2 * np.pi, (M, N))
+    D = jnp.asarray((0.8 * np.exp(1j * phase)).astype(np.complex64))
+    from flamo_tpu.functional import expm_skew
+
+    U = expm_skew(jnp.asarray(rng.normal(size=(N, N)).astype(np.float32)))
+    B = jnp.asarray((rng.normal(size=(M, N))
+                     + 1j * rng.normal(size=(M, N))).astype(np.complex64))
+
+    def f_pallas(D, U, B):
+        return jnp.sum(jnp.abs(ps.pallas_fdn_solve(D, U, B)) ** 2)
+
+    def f_ref(D, U, B):
+        A = (jnp.eye(N, dtype=jnp.complex64)[None]
+             - D[:, :, None] * U[None].astype(jnp.complex64))
+        return jnp.sum(jnp.abs(gauss_solve(A, B)) ** 2)
+
+    g1 = jax.grad(f_pallas, argnums=(0, 1, 2))(D, U, B)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(D, U, B)
+    for a, b in zip(g1, g2):
+        rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+        assert rel < 1e-3
