@@ -168,10 +168,15 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3):
     from flamo_tpu.utils import host_eager
 
     flamo_tpu.set_seed(130297)
+    # cache_room=False: the cached-response variant is faster, but its
+    # 20 MB response leaf intermittently trips the axon tunnel's transfer
+    # bug; the uncached build recomputes the room rffts in-graph and only
+    # ships the 3 MB raw IRs.
     with host_eager():
         m = build_active_acoustics(n_mics=4, n_loudspeakers=13,
                                    rir_length=15000, fir_order=100,
-                                   nfft=NFFT, fs=48000, t60=0.5)
+                                   nfft=NFFT, fs=48000, t60=0.5,
+                                   cache_room=False)
         M = NFFT // 2 + 1
         x = jnp.zeros((1, NFFT, 13)).at[:, 0, :].set(1.0)
         target = jnp.ones((1, M, 4))
@@ -290,18 +295,22 @@ def main():
         "vs_baseline": round(steps_per_sec / baseline, 2),
     }
     if args.all:
-        single_sps, _ = measure_jax_steps_per_sec(args.steps)
-        evals = measure_jax_evals_per_sec()
-        ens_sps = measure_ensemble_steps_per_sec()
-        aa_sps = measure_active_acoustics_steps_per_sec()
         extra = {
-            "single_dispatch_steps_per_sec": round(single_sps, 3),
-            "freq_response_evals_per_sec": round(evals, 3),
-            "ensemble8_model_steps_per_sec": round(ens_sps, 3),
-            "active_acoustics_steps_per_sec": round(aa_sps, 3),
             "torch_cpu_baseline_steps_per_sec": round(baseline, 3),
             "final_loss": final_loss,
         }
+        for name, fn in [
+            ("single_dispatch_steps_per_sec",
+             lambda: measure_jax_steps_per_sec(args.steps)[0]),
+            ("freq_response_evals_per_sec", measure_jax_evals_per_sec),
+            ("ensemble8_model_steps_per_sec", measure_ensemble_steps_per_sec),
+            ("active_acoustics_steps_per_sec",
+             measure_active_acoustics_steps_per_sec),
+        ]:
+            try:
+                extra[name] = round(float(fn()), 3)
+            except Exception as e:  # pragma: no cover - backend flakiness
+                extra[name] = f"error: {str(e)[:60]}"
         print(json.dumps({**result, **extra}))
     else:
         print(json.dumps(result))

@@ -55,19 +55,33 @@ def host_eager():
         yield
 
 
-def to_device(tree, device=None):
-    """Transfer a pytree to ``device`` leaf-by-leaf via host numpy buffers.
+_TRANSFER_CHUNK_BYTES = 4 * 1024 * 1024
 
-    On the axon-tunneled backend, batched cross-backend ``jax.device_put``
-    of mixed-dtype pytrees intermittently fails with UNIMPLEMENTED; staging
-    through numpy one leaf at a time is reliable."""
+
+def to_device(tree, device=None):
+    """Transfer a pytree to ``device`` leaf-by-leaf via host numpy buffers,
+    splitting large arrays into <=4 MB chunks.
+
+    The axon-tunneled backend intermittently rejects large host->device
+    transfers with UNIMPLEMENTED (and a failed transfer can wedge the
+    client), while small transfers always succeed; chunking + on-device
+    concatenation is reliable.  On healthy backends this is just a minor
+    overhead at setup time."""
     if device is None:
         device = jax.devices()[0]
 
     def put(x):
-        if isinstance(x, (jax.Array, np.ndarray)):
-            return jax.device_put(np.asarray(x), device)
-        return x
+        if not isinstance(x, (jax.Array, np.ndarray)):
+            return x
+        arr = np.asarray(x)
+        if arr.nbytes <= _TRANSFER_CHUNK_BYTES or arr.ndim == 0:
+            return jax.device_put(arr, device)
+        rows_per_chunk = max(1, _TRANSFER_CHUNK_BYTES
+                             // max(1, arr.nbytes // max(1, arr.shape[0])))
+        parts = [jax.device_put(np.ascontiguousarray(
+                     arr[i:i + rows_per_chunk]), device)
+                 for i in range(0, arr.shape[0], rows_per_chunk)]
+        return jnp.concatenate(parts, axis=0)
 
     return jax.tree_util.tree_map(put, tree)
 
