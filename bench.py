@@ -168,10 +168,10 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3):
     from flamo_tpu.utils import host_eager
 
     flamo_tpu.set_seed(130297)
-    # cache_room=False: the cached-response variant is faster, but its
-    # 20 MB response leaf intermittently trips the axon tunnel's transfer
-    # bug; the uncached build recomputes the room rffts in-graph and only
-    # ships the 3 MB raw IRs.
+    # Build with the UNCACHED room (ships only the 3 MB raw IRs — the
+    # 20 MB cached-response leaf intermittently trips the axon tunnel's
+    # transfer bug), then recompute the cached room response ON DEVICE
+    # inside a jit and swap it in: the hot loop never re-rffts the room.
     with host_eager():
         m = build_active_acoustics(n_mics=4, n_loudspeakers=13,
                                    rir_length=15000, fir_order=100,
@@ -180,12 +180,25 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3):
         M = NFFT // 2 + 1
         x = jnp.zeros((1, NFFT, 13)).at[:, 0, :].set(1.0)
         target = jnp.ones((1, M, 4))
-        tx = optax.adam(1e-3)
-        mask = trainable_mask(m)
-        opt_state = tx.init(m)
+        from flamo_tpu.processor import dsp
+
+        use_cache = os.environ.get("FLAMO_TPU_AA_CACHE", "1") == "1"
+        cached_host = dsp.CachedResponse(m.get_core().feedforward) \
+            if use_cache else None
     from flamo_tpu.utils import to_device
 
-    m, opt_state, x, target = to_device((m, opt_state, x, target))
+    m, x, target = to_device((m, x, target))
+    if use_cache:
+        try:
+            room_dev = m.get_core().feedforward
+            H_dev = jax.jit(lambda mod: mod.response())(room_dev)
+            cached = cached_host.replace(H=H_dev)
+            m = m.set_core(m.get_core().replace(feedforward=cached))
+        except Exception:
+            pass  # fall back to the uncached (in-graph rfft) room
+    tx = optax.adam(1e-3)
+    mask = trainable_mask(m)
+    opt_state = jax.jit(tx.init)(m)  # adam moments allocate on device
 
     def loss_fn(m):
         est = jnp.abs(m(x))

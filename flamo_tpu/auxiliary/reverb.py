@@ -22,8 +22,8 @@ import numpy as np
 from flamo_tpu.processor import dsp, system
 from flamo_tpu.processor.dsp import Filter, _identity, _iir_eps_guard
 from flamo_tpu.functional import poly_response
-from flamo_tpu.utils import next_key, to_complex
-from flamo_tpu.auxiliary.eq import accurate_geq, eq_freqs, geq
+from flamo_tpu.utils import next_key
+from flamo_tpu.auxiliary.eq import accurate_geq, geq
 
 
 def rt2slope(rt60, fs: int):

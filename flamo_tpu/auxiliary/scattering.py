@@ -13,8 +13,6 @@ i.e. plain matmuls over the tap axis (MXU-friendly).  The generic
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import numpy as np

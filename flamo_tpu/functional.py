@@ -17,7 +17,6 @@ that are deliberate TPU-first design:
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -10,9 +10,6 @@ reproducibility.
 
 from __future__ import annotations
 
-from collections import OrderedDict
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -11,8 +11,6 @@ feedback, trained so the magnitude response is flat (mse vs ones +
 from __future__ import annotations
 
 from collections import OrderedDict
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax

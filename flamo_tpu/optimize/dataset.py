@@ -8,14 +8,12 @@ train step never retraces.
 
 from __future__ import annotations
 
-import math
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flamo_tpu.utils import next_key
 
 
 class Dataset:

@@ -23,7 +23,6 @@ import numpy as np
 
 from flamo_tpu.optimize.utils import generate_partitions
 from flamo_tpu.processor.dsp import HouseholderMatrix
-from flamo_tpu.utils import next_key
 
 
 # ----------------------------------------------------------------------

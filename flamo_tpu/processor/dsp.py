@@ -22,7 +22,7 @@ TPU-first deviations (behavior-preserving):
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
@@ -1505,7 +1505,9 @@ class CachedResponse(Module):
     def __call__(self, x, ext_param=None):
         from flamo_tpu.ops import linop
 
-        return linop.apply(self.kind, self.H, x)
+        # frozen by contract: stop_gradient prunes the (large) cotangent
+        # computation for H from every backward pass
+        return linop.apply(self.kind, jax.lax.stop_gradient(self.H), x)
 
     def matrix_response(self, ext_param=None):
-        return self.kind, self.H
+        return self.kind, jax.lax.stop_gradient(self.H)
