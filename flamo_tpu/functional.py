@@ -73,21 +73,22 @@ def skew_matrix(X):
     return A - jnp.swapaxes(A, -1, -2)
 
 
-def expm(A, order: int = 16):
+def expm(A, order: int = 10):
     """Matrix exponential via scaling-and-squaring + Taylor series.
 
     Pure matmuls -> runs on the MXU and differentiates cleanly.  Accuracy for
-    the small (N<=64) matrices used here is ~float32 eps with order=12 and
-    scaling to norm <= 0.5.  Squaring count is static (based on a conservative
-    bound) so the jitted graph has no data-dependent control flow.
+    the small (N<=64) matrices used here is ~float32 eps.  Squaring count is
+    static (based on a conservative bound) so the jitted graph has no
+    data-dependent control flow, and order+s are kept minimal (15 matmuls)
+    because the sequential chain bounds step latency.
     """
     A = jnp.asarray(A)
     n = A.shape[-1]
-    # static squaring count: scale by 2^s so the Taylor series converges
-    # fast; each squaring amplifies rounding ~2x, so keep s small.  s=6
-    # covers ||A|| <= 32 with a scaled norm <= 0.5 — ample for the skew
-    # matrices of N(0,1) raw params used here (||A||_2 ~ 2 sqrt(n)).
-    s = 6
+    # s=5 scales ||A|| <= 16 down to <= 0.5; the N(0,1) skew matrices used
+    # here have ||A||_2 ~ 2 sqrt(n), so this covers N <= 64.  Taylor-10 at
+    # norm 0.5 has truncation error ~5e-11; rounding through 5 squarings
+    # stays ~32 eps.
+    s = 5
     As = A / (2.0 ** s)
     # Taylor series of exp(As)
     eye = jnp.broadcast_to(jnp.eye(n, dtype=A.dtype), A.shape)

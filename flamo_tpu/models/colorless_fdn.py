@@ -29,9 +29,14 @@ def _abs(x):
 
 def build_colorless_fdn(nfft: int = 96000, delays=DEFAULT_DELAYS,
                         alias_decay_db: float = 30.0, dtype=jnp.float32,
-                        key=None) -> system.Shell:
+                        cache_delays: bool = False, key=None) -> system.Shell:
     """Shell(FFT -> [Gain, Recursion(parallelDelay, orthogonal Matrix),
-    Gain] -> abs) (reference e8_colorless_fdn.py:33-106)."""
+    Gain] -> abs) (reference e8_colorless_fdn.py:33-106).
+
+    cache_delays=True wraps the (frozen) delay lines in
+    :class:`dsp.CachedResponse`: the gamma^m e^{-j omega m} response is
+    computed once instead of per training step (identical math; the module
+    loses its raw ``param`` accessor)."""
     N = len(delays)
     key = next_key(key)
     keys = jax.random.split(key, 4)
@@ -47,6 +52,8 @@ def build_colorless_fdn(nfft: int = 96000, delays=DEFAULT_DELAYS,
                                   key=keys[2])
     delay_mod = delay_mod.assign_value(
         delay_mod.sample2s(jnp.asarray(delays, dtype=dtype)))
+    if cache_delays:
+        delay_mod = dsp.CachedResponse(delay_mod)
     feedback = dsp.Matrix(size=(N, N), nfft=nfft, matrix_type="orthogonal",
                           requires_grad=True,
                           alias_decay_db=alias_decay_db, dtype=dtype,

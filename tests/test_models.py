@@ -64,3 +64,16 @@ def test_active_acoustics_trains():
     assert float(loss) < loss0
     # the room (non-trainable) is untouched
     assert not m.get_core().feedforward.trainable
+
+
+def test_colorless_cache_delays_equivalent():
+    flamo_tpu.set_seed(3)
+    key = jax.random.PRNGKey(7)
+    m0 = build_colorless_fdn(nfft=1024, delays=(13, 17, 19, 23, 29, 31),
+                             cache_delays=False, key=key)
+    m1 = build_colorless_fdn(nfft=1024, delays=(13, 17, 19, 23, 29, 31),
+                             cache_delays=True, key=key)
+    x = jnp.zeros((1, 1024, 1)).at[:, 0, :].set(1.0)
+    y0 = np.asarray(jax.jit(lambda m, x: m(x))(m0, x))
+    y1 = np.asarray(jax.jit(lambda m, x: m(x))(m1, x))
+    assert np.abs(y0 - y1).max() < 1e-5
