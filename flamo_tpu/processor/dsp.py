@@ -795,17 +795,19 @@ class SVF(Filter):
         return p + bias
 
     def map_param2svf(self, param):
+        """Raw params -> (f, R, mLP, mBP, mHP) (reference dsp.py:2349-2364).
+
+        NOTE: the reference assigns R=1 for shelf types and then immediately
+        overwrites it with R=r in the following else-branch — the shelf
+        special case is dead code there; we reproduce the effective
+        behavior (R=r) for parity."""
         f = self.param2freq(param[0])
         r = self.param2R(param[1])
-        if self.filter_type in ("lowshelf", "highshelf"):
-            R = jnp.ones_like(r)
-        elif self.filter_type == "peaking":
-            R = 1 / r
-        else:
-            R = r
         if self.filter_type == "peaking":
+            R = 1 / r
             m = self.param2mix(param[2:], r)
         else:
+            R = r
             m = self.param2mix(param[2:], R)
         return f, R, m[0], m[1], m[2]
 

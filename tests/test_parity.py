@@ -336,3 +336,136 @@ def test_parity_geq_design(ref):
                   torch.tensor(2.7), torch.tensor(gains), fs=FS)
     _close(bj, bt.numpy(), atol=1e-4)
     _close(aj, at.numpy(), atol=1e-4)
+
+
+def test_parity_householder_forward(ref):
+    import jax.numpy as jnp
+    from flamo_tpu.processor import dsp
+
+    rng = np.random.default_rng(8)
+    u_raw = rng.normal(size=(4, 1)).astype(np.float32)
+    X = (rng.normal(size=(1, NFFT // 2 + 1, 4))
+         + 1j * rng.normal(size=(1, NFFT // 2 + 1, 4))).astype(np.complex64)
+
+    hj = dsp.HouseholderMatrix(size=(4, 4), nfft=NFFT)
+    hj = hj.assign_value(jnp.asarray(u_raw))
+    yj = hj(jnp.asarray(X))
+
+    ht = ref.dsp.HouseholderMatrix(size=(4, 4), nfft=NFFT)
+    ht.assign_value(torch.tensor(u_raw))
+    yt = ht(torch.tensor(X)).detach().numpy()
+    _close(yj, yt, atol=1e-4)
+
+
+def test_parity_gain_delay(ref):
+    import jax.numpy as jnp
+    from flamo_tpu.processor import dsp
+
+    rng = np.random.default_rng(9)
+    raw = np.stack([rng.normal(size=(2, 3)),
+                    np.abs(rng.normal(size=(2, 3))) * 0.01]).astype(np.float32)
+
+    gj = dsp.GainDelay(size=(2, 3), max_len=64, isint=True, nfft=NFFT,
+                       fs=FS, alias_decay_db=10)
+    gj = gj.assign_value(jnp.asarray(raw))
+    Hj = gj.response()
+
+    gt = ref.dsp.GainDelay(size=(2, 3), max_len=64, isint=True, nfft=NFFT,
+                           fs=FS, alias_decay_db=10)
+    gt.assign_value(torch.tensor(raw))
+    Ht = gt.freq_response(gt.param).detach().numpy()
+    _close(Hj, Ht, atol=1e-4)
+
+
+def test_parity_sos_filter(ref):
+    import jax.numpy as jnp
+    from flamo_tpu.processor import dsp
+
+    rng = np.random.default_rng(10)
+    sos = np.zeros((2, 6, 1, 1), dtype=np.float32)
+    sos[:, 0] = 1.0 + 0.1 * rng.normal(size=(2, 1, 1))
+    sos[:, 1:3] = 0.1 * rng.normal(size=(2, 2, 1, 1))
+    sos[:, 3] = 1.0
+    sos[:, 4:6] = 0.1 * rng.normal(size=(2, 2, 1, 1))
+
+    sj = dsp.SOSFilter(size=(1, 1), n_sections=2, nfft=NFFT, fs=FS,
+                       alias_decay_db=15)
+    sj = sj.assign_value(jnp.asarray(sos))
+    Hj = sj.response()
+
+    st = ref.dsp.SOSFilter(size=(1, 1), n_sections=2, nfft=NFFT, fs=FS,
+                           alias_decay_db=15)
+    st.assign_value(torch.tensor(sos))
+    Ht = st.freq_response(st.param).detach().numpy()
+    _close(Hj, Ht, atol=1e-3, rtol=1e-2)
+
+
+def test_parity_parallel_svf(ref):
+    import jax.numpy as jnp
+    from flamo_tpu.processor import dsp
+
+    rng = np.random.default_rng(11)
+    raw = rng.normal(size=(5, 1, 3)).astype(np.float32)
+
+    sj = dsp.parallelSVF(size=(3,), n_sections=1, filter_type="lowshelf",
+                         nfft=NFFT, fs=FS)
+    sj = sj.assign_value(jnp.asarray(raw))
+    Hj = sj.response()
+
+    st = ref.dsp.parallelSVF(size=(3,), n_sections=1, filter_type="lowshelf",
+                             nfft=NFFT, fs=FS)
+    st.assign_value(torch.tensor(raw))
+    Ht = st.freq_response(st.param).detach().numpy()
+    _close(Hj, Ht, atol=1e-3, rtol=1e-2)
+
+
+def test_parity_parallel_system(ref):
+    """system.Parallel sum/concat forward parity."""
+    import jax.numpy as jnp
+    from collections import OrderedDict as OD
+    from flamo_tpu.processor import dsp, system
+
+    rng = np.random.default_rng(12)
+    Wa = rng.normal(size=(3, 2)).astype(np.float32)
+    Wb = rng.normal(size=(3, 2)).astype(np.float32)
+    X = (rng.normal(size=(1, NFFT // 2 + 1, 2))
+         + 1j * rng.normal(size=(1, NFFT // 2 + 1, 2))).astype(np.complex64)
+
+    for sum_output in [True, False]:
+        pj = system.Parallel(
+            dsp.Gain(size=(3, 2), nfft=NFFT).assign_value(jnp.asarray(Wa)),
+            dsp.Gain(size=(3, 2), nfft=NFFT).assign_value(jnp.asarray(Wb)),
+            sum_output=sum_output)
+        yj = pj(jnp.asarray(X))
+
+        ga = ref.dsp.Gain(size=(3, 2), nfft=NFFT)
+        ga.assign_value(torch.tensor(Wa))
+        gb = ref.dsp.Gain(size=(3, 2), nfft=NFFT)
+        gb.assign_value(torch.tensor(Wb))
+        pt = ref.sys.Parallel(ga, gb, sum_output=sum_output)
+        yt = pt(torch.tensor(X)).detach().numpy()
+        _close(yj, yt, atol=1e-5)
+
+
+def test_parity_shell_time_response(ref):
+    """Shell.get_time_response with the alias-undo envelope."""
+    import jax.numpy as jnp
+    from collections import OrderedDict as OD
+    from flamo_tpu.processor import dsp, system
+
+    rng = np.random.default_rng(13)
+    taps = rng.normal(size=(16, 1, 1)).astype(np.float32)
+    alias = 20.0
+
+    fj = dsp.Filter(size=(16, 1, 1), nfft=NFFT, alias_decay_db=alias)
+    fj = fj.assign_value(jnp.asarray(taps))
+    mj = system.Shell(core=fj, input_layer=dsp.FFT(NFFT),
+                      output_layer=dsp.iFFT(NFFT))
+    irj = np.asarray(mj.get_time_response(fs=FS))
+
+    ft = ref.dsp.Filter(size=(16, 1, 1), nfft=NFFT, alias_decay_db=alias)
+    ft.assign_value(torch.tensor(taps))
+    mt = ref.sys.Shell(core=ft, input_layer=ref.dsp.FFT(NFFT),
+                       output_layer=ref.dsp.iFFT(NFFT))
+    irt = mt.get_time_response(fs=FS).detach().numpy()
+    _close(irj, irt, atol=1e-4)
