@@ -469,3 +469,73 @@ def test_parity_shell_time_response(ref):
                        output_layer=ref.dsp.iFFT(NFFT))
     irt = mt.get_time_response(fs=FS).detach().numpy()
     _close(irj, irt, atol=1e-4)
+
+
+def test_parity_training_trajectory(ref):
+    """20 Adam steps on the biquad-matching toy from IDENTICAL raw init:
+    per-step losses must track the reference closely (BASELINE.md
+    'final-MSE parity')."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from flamo_tpu.processor import dsp, system
+    from flamo_tpu.core import trainable_mask
+
+    rng = np.random.default_rng(21)
+    raw0 = np.stack([rng.uniform(0.1, 0.4, (2, 1, 1)),
+                     rng.uniform(0.3, 0.9, (2, 1, 1))],
+                    axis=1).astype(np.float32)
+    M = NFFT // 2 + 1
+    target = np.abs(rng.normal(size=(1, M, 1))).astype(np.float32)
+    x_time = np.zeros((1, NFFT, 1), dtype=np.float32)
+    x_time[:, 0, :] = 1.0
+    lr = 5e-3
+
+    # --- flamo_tpu ---
+    bq = dsp.Biquad(size=(1, 1), n_sections=2, filter_type="highpass",
+                    nfft=NFFT, fs=FS, requires_grad=True)
+    bq = bq.assign_value(jnp.asarray(raw0))
+    model = system.Shell(core=bq, input_layer=dsp.FFT(NFFT),
+                         output_layer=dsp.Transform(lambda z: jnp.abs(z)))
+    tx = optax.adam(lr)
+    mask = trainable_mask(model)
+    opt_state = tx.init(model)
+    xj = jnp.asarray(x_time)
+    tj = jnp.asarray(target)
+
+    def loss_fn(m):
+        return jnp.mean((m(xj) - tj) ** 2)
+
+    @jax.jit
+    def step(m, o):
+        loss, g = jax.value_and_grad(loss_fn)(m)
+        g = jax.tree_util.tree_map(
+            lambda gr, msk: gr if msk else jnp.zeros_like(gr), g, mask)
+        u, o = tx.update(g, o, m)
+        return optax.apply_updates(m, u), o, loss
+
+    losses_j = []
+    m, o = model, opt_state
+    for _ in range(20):
+        m, o, l = step(m, o)
+        losses_j.append(float(l))
+
+    # --- reference ---
+    bt = ref.dsp.Biquad(size=(1, 1), n_sections=2, filter_type="highpass",
+                        nfft=NFFT, fs=FS, requires_grad=True)
+    bt.assign_value(torch.tensor(raw0))
+    mt = ref.sys.Shell(core=bt, input_layer=ref.dsp.FFT(NFFT),
+                       output_layer=ref.dsp.Transform(
+                           transform=lambda z: torch.abs(z)))
+    opt = torch.optim.Adam(mt.parameters(), lr=lr)
+    xt = torch.tensor(x_time)
+    tt = torch.tensor(target)
+    losses_t = []
+    for _ in range(20):
+        opt.zero_grad()
+        loss = torch.mean((mt(xt) - tt) ** 2)
+        loss.backward()
+        opt.step()
+        losses_t.append(float(loss))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=1e-3, atol=1e-5)
