@@ -168,6 +168,8 @@ class Trainer:
             if profiling:
                 jax.profiler.stop_trace()
             self.train_loss.append(epoch_loss / max(1, n_steps))
+            self._last_steps_per_sec = n_steps / max(1e-9,
+                                                     time.time() - st_epoch)
 
             epoch_loss = 0.0
             n_steps = 0
@@ -260,8 +262,12 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def print_results(self, e: int, e_time: float):
-        print(get_str_results(epoch=e, train_loss=self.train_loss,
-                              valid_loss=self.valid_loss, time=e_time))
+        msg = get_str_results(epoch=e, train_loss=self.train_loss,
+                              valid_loss=self.valid_loss, time=e_time)
+        sps = getattr(self, "_last_steps_per_sec", None)
+        if sps is not None:
+            msg += " - {:.1f} steps/s".format(sps)
+        print(msg)
 
     def get_train_dir(self):
         if self.train_dir is not None:
