@@ -92,3 +92,22 @@ def test_early_stopping():
     assert not trainer.early_stop()
     trainer.valid_loss.append(0.93)  # within delta -> counter 2 -> stop
     assert trainer.early_stop()
+
+
+def test_fit_scan_fast_path(tmp_path):
+    flamo_tpu.set_seed(130709)
+    model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+    trainer = Trainer(model, lr=1e-2, log=False)
+    trainer.register_criterion(mse_loss(nfft=NFFT), 1)
+    trainer.register_criterion(sparsity_loss(), 0.2, requires_model=True)
+    M = NFFT // 2 + 1
+    inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    targets = jnp.ones((1, M, 1))
+    history = trainer.fit_scan(inputs, targets, n_steps=40,
+                               steps_per_call=20)
+    assert history.shape == (40,)
+    assert history[-1] < history[0]
+    # second call reuses the cached compiled runner
+    history2 = trainer.fit_scan(inputs, targets, n_steps=20,
+                                steps_per_call=20)
+    assert history2[-1] <= history[-1] * 1.2
