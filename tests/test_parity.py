@@ -539,3 +539,24 @@ def test_parity_training_trajectory(ref):
         losses_t.append(float(loss))
 
     np.testing.assert_allclose(losses_j, losses_t, rtol=1e-3, atol=1e-5)
+
+
+def test_parity_peq_module(ref):
+    import jax.numpy as jnp
+    from flamo_tpu.processor import dsp
+
+    rng = np.random.default_rng(22)
+    n_bands = 5
+    raw = rng.uniform(0.1, 0.9, (n_bands, 3, 1, 1)).astype(np.float32)
+
+    for design in ["biquad", "svf"]:
+        pj = dsp.PEQ(size=(1, 1), n_bands=n_bands, design=design,
+                     nfft=NFFT, fs=FS)
+        pj = pj.assign_value(jnp.asarray(raw))
+        Hj = pj.response()
+
+        pt = ref.dsp.PEQ(size=(1, 1), n_bands=n_bands, design=design,
+                         nfft=NFFT, fs=FS)
+        pt.assign_value(torch.tensor(raw))
+        Ht = pt.freq_response(pt.param).detach().numpy()
+        _close(Hj, Ht, atol=2e-3, rtol=2e-2)
