@@ -182,23 +182,15 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3):
         target = jnp.ones((1, M, 4))
         from flamo_tpu.processor import dsp
 
-        use_cache = os.environ.get("FLAMO_TPU_AA_CACHE", "1") == "1"
-        cached_host = dsp.CachedResponse(m.get_core().feedforward) \
-            if use_cache else None
+        tx = optax.adam(1e-3)
+        mask = trainable_mask(m)
+        opt_state = tx.init(m)
     from flamo_tpu.utils import to_device
 
-    m, x, target = to_device((m, x, target))
-    if use_cache:
-        try:
-            room_dev = m.get_core().feedforward
-            H_dev = jax.jit(lambda mod: mod.response())(room_dev)
-            cached = cached_host.replace(H=H_dev)
-            m = m.set_core(m.get_core().replace(feedforward=cached))
-        except Exception:
-            pass  # fall back to the uncached (in-graph rfft) room
-    tx = optax.adam(1e-3)
-    mask = trainable_mask(m)
-    opt_state = jax.jit(tx.init)(m)  # adam moments allocate on device
+    # NOTE: host-init + transfer, NOT jax.jit(tx.init) on device — jit
+    # outputs carry non-default layouts on this backend and the training
+    # executable then pays a layout conversion per call (68x slower).
+    m, opt_state, x, target = to_device((m, opt_state, x, target))
 
     def loss_fn(m):
         est = jnp.abs(m(x))
