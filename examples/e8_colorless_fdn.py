@@ -38,7 +38,19 @@ def main(args):
                       train_dir=args.train_dir)
     trainer.register_criterion(mse_loss(nfft=nfft), 1)
     trainer.register_criterion(sparsity_loss(), 0.2, requires_model=True)
-    trainer.train(tl, vl)
+    if args.scan:
+        # TPU fast path: K optimizer steps fused per dispatch (exact for
+        # the colorless dataset, which repeats one (input, target) pair)
+        import jax.numpy as _jnp
+
+        x = _jnp.zeros((1, nfft // 2 + 1, 1)).at[:, 0, :].set(1.0)
+        t = _jnp.ones((1, nfft // 2 + 1, 1))
+        history = trainer.fit_scan(x, t, n_steps=args.max_epochs * args.num)
+        trainer.train_loss = [float(history[0]), float(history[-1])]
+        print(f"fit_scan: loss {history[0]:.4f} -> {history[-1]:.4f} "
+              f"over {len(history)} steps")
+    else:
+        trainer.train(tl, vl)
 
     ir_optim = np.asarray(
         trainer.net.get_time_response(fs=args.samplerate)).squeeze()
@@ -60,6 +72,9 @@ def main(args):
 
 
 if __name__ == "__main__":
-    args = setup(example_parser(nfft=8192, max_epochs=5, num=32,
-                                batch_size=4, lr=1e-3).parse_args())
+    ap = example_parser(nfft=8192, max_epochs=5, num=32, batch_size=4,
+                        lr=1e-3)
+    ap.add_argument("--scan", action="store_true",
+                    help="fused multi-step scan training (TPU fast path)")
+    args = setup(ap.parse_args())
     main(args)
