@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from flamo_tpu.functional import WGN_reverb, get_eigenvalues
+from flamo_tpu.functional import WGN_reverb, get_eigenvalues, spectral_radius
 from flamo_tpu.processor import dsp, system
 from flamo_tpu.utils import next_key
 
@@ -58,10 +58,9 @@ def build_active_acoustics(n_mics: int = 4, n_loudspeakers: int = 13,
     return shell
 
 
-def open_loop_eigenvalues(model: system.Shell, subsample: int = 32):
-    """Eigenvalues of the open-loop matrix G(z) = mixer(room) over a bin
-    subsample (reference e8_active_acoustics.py:183-215).  Host-callback
-    eig — analysis only."""
+def open_loop_matrix(model: system.Shell, subsample: int = 32):
+    """Open-loop matrix G(z) = mixer(room) materialized per bin, shape
+    (M//subsample, n_lds, n_lds)."""
     loop = model.get_core()
     room, mixer = loop.feedforward, loop.feedback
     rR = room.matrix_response()
@@ -70,10 +69,16 @@ def open_loop_eigenvalues(model: system.Shell, subsample: int = 32):
 
     kind, G = linop.compose(rM[0], rM[1], rR[0], rR[1])
     M = room.M
-    n = room.output_channels
     Gm = linop.materialize(kind, G, M, mixer.output_channels,
                            room.input_channels)
-    return get_eigenvalues(Gm[::subsample])
+    return Gm[::subsample]
+
+
+def open_loop_eigenvalues(model: system.Shell, subsample: int = 32):
+    """Eigenvalues of the open-loop matrix G(z) = mixer(room) over a bin
+    subsample (reference e8_active_acoustics.py:183-215).  Host-callback
+    eig — analysis only."""
+    return get_eigenvalues(open_loop_matrix(model, subsample))
 
 
 def gain_before_instability(model: system.Shell, subsample: int = 32):
@@ -81,3 +86,13 @@ def gain_before_instability(model: system.Shell, subsample: int = 32):
     evs = open_loop_eigenvalues(model, subsample)
     max_ev = jnp.max(jnp.abs(evs))
     return -20 * jnp.log10(max_ev)
+
+
+def gain_before_instability_diff(model: system.Shell, subsample: int = 32,
+                                 iters: int = 64):
+    """Differentiable, fully on-device GBI via power-iteration spectral
+    radius (no host eig callback) — usable inside jit/grad, e.g. as a
+    stability regularizer during training.  The reference's GBI
+    (e8_active_acoustics.py:183-215) is eager analysis only."""
+    rho = spectral_radius(open_loop_matrix(model, subsample), iters=iters)
+    return -20 * jnp.log10(jnp.max(rho))

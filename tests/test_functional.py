@@ -182,6 +182,33 @@ def test_get_eigenvalues_host_callback():
         assert np.allclose(s(ev[i]), s(ref[i]), atol=1e-4)
 
 
+def test_spectral_radius_matches_eig():
+    rng = np.random.default_rng(3)
+    # complex batch
+    A = (rng.standard_normal((7, 5, 5)) +
+         1j * rng.standard_normal((7, 5, 5))).astype(np.complex64)
+    rho = np.asarray(F.spectral_radius(jnp.asarray(A), iters=128))
+    ref = np.abs(np.linalg.eigvals(A)).max(axis=-1)
+    assert np.allclose(rho, ref, rtol=5e-3)
+    # real matrix whose dominant eigenvalues are a conjugate pair — the
+    # per-step power-iteration ratio oscillates; the tail geometric mean
+    # must still converge to |lambda|
+    th, r = 0.7, 2.0
+    R = np.array([[r * np.cos(th), -r * np.sin(th)],
+                  [r * np.sin(th), r * np.cos(th)]])
+    B = np.zeros((4, 4))
+    B[:2, :2] = R
+    B[2, 2], B[3, 3] = 0.5, -0.3
+    Q = np.linalg.qr(rng.standard_normal((4, 4)))[0]
+    Areal = (Q @ B @ Q.T).astype(np.float32)
+    rho = float(F.spectral_radius(jnp.asarray(Areal), iters=128, tail=16))
+    assert np.isclose(rho, r, rtol=5e-3)
+    # differentiable and jittable
+    g = jax.grad(lambda a: F.spectral_radius(a, iters=32).sum())(
+        jnp.asarray(Areal))
+    assert np.isfinite(np.asarray(g)).all()
+
+
 def test_wgn_reverb_normalized():
     ir = F.WGN_reverb((2, 3), t60=0.1, samplerate=48000,
                       key=jax.random.PRNGKey(1))

@@ -7,7 +7,7 @@ import numpy as np
 import flamo_tpu
 from flamo_tpu.models import (
     build_active_acoustics, build_colorless_fdn, colorless_train_step,
-    gain_before_instability,
+    gain_before_instability, gain_before_instability_diff,
 )
 
 
@@ -31,6 +31,20 @@ def test_active_acoustics_builder_and_gbi():
     assert np.isfinite(gbi)
     # tiny mixer init -> loop far from instability -> large positive GBI
     assert gbi > 0
+    # the on-device differentiable GBI must agree with host-eig GBI and
+    # admit gradients w.r.t. the mixer parameters
+    gbi_d = float(jax.jit(
+        lambda m: gain_before_instability_diff(m, subsample=64, iters=128)
+    )(m))
+    assert abs(gbi_d - gbi) < 0.2  # dB
+
+    def loss(mm):
+        return -gain_before_instability_diff(mm, subsample=64, iters=32)
+
+    grads = jax.grad(loss)(m)
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert any(np.abs(np.asarray(l)).max() > 0 for l in leaves)
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
 
 
 def test_active_acoustics_trains():
