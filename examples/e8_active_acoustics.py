@@ -75,6 +75,24 @@ def main(args):
     trainer = Trainer(model, max_epochs=args.max_epochs, lr=args.lr,
                       train_dir=args.train_dir)
     trainer.register_criterion(MSE_evs(nfft, M // 8), 1)
+    if args.gbi_reg > 0:
+        # stability regularizer: penalize open-loop spectral radius above
+        # the margin, computed fully on device (differentiable power
+        # iteration) — not expressible in the reference, whose GBI is
+        # eager host-side analysis only
+        from flamo_tpu.models import open_loop_matrix
+        from flamo_tpu.functional import spectral_radius
+
+        class GBIReg:
+            name = "gbi_reg"
+
+            def __call__(self, y_pred, y_true, model):
+                rho = spectral_radius(open_loop_matrix(model, subsample=64),
+                                      iters=24)
+                return jnp.sum(jax.nn.relu(jnp.max(rho) - args.gbi_margin))
+
+        trainer.register_criterion(GBIReg(), args.gbi_reg,
+                                   requires_model=True)
     trainer.train(tl, vl)
     print("active acoustics final loss:", trainer.train_loss[-1])
 
@@ -96,6 +114,13 @@ def main(args):
 
 
 if __name__ == "__main__":
-    args = setup(example_parser(nfft=4096, max_epochs=2, num=8,
-                                batch_size=2, lr=1e-3).parse_args())
+    ap = example_parser(nfft=4096, max_epochs=2, num=8, batch_size=2,
+                        lr=1e-3)
+    ap.add_argument("--gbi_reg", type=float, default=0.0,
+                    help="weight of the differentiable GBI stability "
+                         "regularizer (0 = off)")
+    ap.add_argument("--gbi_margin", type=float, default=0.5,
+                    help="open-loop spectral radius above which the "
+                         "regularizer penalizes")
+    args = setup(ap.parse_args())
     main(args)
