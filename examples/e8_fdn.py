@@ -94,7 +94,18 @@ def main(args):
     trainer.register_criterion(
         mss_loss(nfft=[256, 512, 1024], sample_rate=args.samplerate), 1)
     trainer.register_criterion(sparsity_loss(), 0.2, requires_model=True)
-    trainer.train(tl, vl)
+    if args.scan:
+        # TPU fast path: fuse the whole epoch (all batches) into one
+        # dispatched lax.scan program — numerically lockstep with train()
+        from flamo_tpu.optimize import stack_loader
+
+        bx, bt = stack_loader(tl)
+        history = trainer.fit_scan_epochs(bx, bt, n_epochs=args.max_epochs)
+        trainer.train_loss = [float(history[0]), float(history[-1])]
+        print(f"fit_scan_epochs: loss {history[0]:.4f} -> "
+              f"{history[-1]:.4f} over {len(history)} steps")
+    else:
+        trainer.train(tl, vl)
     print("e8_fdn final loss:", trainer.train_loss[-1])
     assert np.isfinite(trainer.train_loss[-1])
 
@@ -106,5 +117,7 @@ if __name__ == "__main__":
                     help="path to a measured RIR wav (optional)")
     ap.add_argument("--attenuation", type=str, default="geq",
                     choices=["geq", "accurate_geq", "peq", "shelving"])
+    ap.add_argument("--scan", action="store_true",
+                    help="fused whole-epoch scan training (TPU fast path)")
     args = setup(ap.parse_args())
     main(args)

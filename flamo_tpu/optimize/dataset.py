@@ -127,3 +127,15 @@ def load_dataset(dataset, batch_size: int = 2000, split: float = 0.8,
                            seed=seed),
             get_dataloader(valid_set, batch_size=batch_size, shuffle=shuffle,
                            seed=seed))
+
+
+def stack_loader(loader):
+    """Materialize a loader's batches into stacked ``(S, B, ...)`` arrays
+    for :meth:`Trainer.fit_scan_epochs` (the fused-epoch TPU fast path).
+
+    All batches have static shape by construction (the loader drops the
+    ragged tail), so stacking is always well-formed.  Note the batch order
+    is frozen at stacking time; restack per epoch if fresh shuffles matter.
+    """
+    xs, ys = zip(*iter(loader))
+    return jnp.stack(xs), jnp.stack(ys)

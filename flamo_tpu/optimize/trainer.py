@@ -64,6 +64,9 @@ class Trainer:
         self._jitted_valid = None
         self._opt_state = None
         self._step_count = 0
+        # usable before train() for direct train_step/fit_scan callers
+        self.train_loss, self.valid_loss = [], []
+        self.train_loss_log, self.valid_loss_log = {}, {}
 
     # ------------------------------------------------------------------
     def register_criterion(self, criterion, alpha: float = 1,
@@ -225,6 +228,52 @@ class Trainer:
                 self.net, self._opt_state, inputs, targets,
                 jnp.asarray(self._step_count), self._gather_loss_state())
             self._step_count += steps_per_call
+            history.append(np.asarray(losses))
+        return np.concatenate(history)
+
+    def fit_scan_epochs(self, batched_inputs, batched_targets,
+                        n_epochs: int):
+        """TPU fast path for real multi-batch datasets: one dispatched
+        ``lax.scan`` program per epoch, consuming one batch per scan step.
+
+        ``batched_inputs``/``batched_targets`` carry a leading step axis
+        ``(S, B, ...)`` — build them with :func:`stack_loader`.  Numerically
+        identical to ``S`` sequential :meth:`train_step` calls (same step
+        counter, loss masks, Adam/schedule state); amortizes host->device
+        dispatch exactly like :meth:`fit_scan` does for the repeated-pair
+        case.  Returns the (n_epochs * S,) per-step loss history."""
+        import numpy as np
+
+        batched_inputs = jnp.asarray(batched_inputs)
+        batched_targets = jnp.asarray(batched_targets)
+        S = batched_inputs.shape[0]
+        if self._jitted_step is None:
+            self._build_step(S)
+        if not hasattr(self, "_scan_epoch_jit"):
+            def epoch_fn(model, opt_state, binputs, btargets, step0,
+                         loss_state):
+                def body(carry, xs):
+                    m, o = carry
+                    xi, ti, i = xs
+                    m, o, total, per = self._raw_step(m, o, xi, ti,
+                                                      step0 + i, loss_state)
+                    return (m, o), total
+
+                (model, opt_state), losses = jax.lax.scan(
+                    body, (model, opt_state),
+                    (binputs, btargets,
+                     jnp.arange(binputs.shape[0])))
+                return model, opt_state, losses
+
+            # jit's own cache re-specializes on new (S, B, ...) shapes
+            self._scan_epoch_jit = jax.jit(epoch_fn, donate_argnums=(0, 1))
+
+        history = []
+        for _ in range(n_epochs):
+            self.net, self._opt_state, losses = self._scan_epoch_jit(
+                self.net, self._opt_state, batched_inputs, batched_targets,
+                jnp.asarray(self._step_count), self._gather_loss_state())
+            self._step_count += S
             history.append(np.asarray(losses))
         return np.concatenate(history)
 

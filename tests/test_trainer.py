@@ -111,3 +111,43 @@ def test_fit_scan_fast_path(tmp_path):
     history2 = trainer.fit_scan(inputs, targets, n_steps=20,
                                 steps_per_call=20)
     assert history2[-1] <= history[-1] * 1.2
+
+
+def test_fit_scan_epochs_matches_sequential(tmp_path):
+    """Fused multi-batch epoch must be numerically lockstep with the
+    sequential train_step path (same Adam state, step counter, losses)."""
+    from flamo_tpu.optimize import stack_loader
+    from flamo_tpu.optimize.dataset import DataLoader
+
+    M = NFFT // 2 + 1
+    # 3 distinct batches: impulse inputs, targets of different amplitude
+    x = jnp.zeros((6, M, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((6, M, 1)) * jnp.linspace(0.5, 1.5, 6)[:, None, None]
+    ds = Dataset(input=x, target=t, expand=6)
+    loader = DataLoader(ds, batch_size=2, shuffle=False)
+    bx, bt = stack_loader(loader)
+    assert bx.shape == (3, 2, M, 1) and bt.shape == (3, 2, M, 1)
+
+    def make_trainer():
+        flamo_tpu.set_seed(77)
+        model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+        tr = Trainer(model, lr=1e-2, log=False)
+        tr.register_criterion(mse_loss(nfft=NFFT), 1)
+        tr.register_criterion(sparsity_loss(), 0.2, requires_model=True)
+        return tr
+
+    tr_seq = make_trainer()
+    seq_losses = []
+    for _ in range(2):  # 2 epochs
+        for i in range(3):
+            seq_losses.append(tr_seq.train_step((bx[i], bt[i])))
+
+    tr_fused = make_trainer()
+    fused = tr_fused.fit_scan_epochs(bx, bt, n_epochs=2)
+    assert fused.shape == (6,)
+    np.testing.assert_allclose(fused, np.asarray(seq_losses), rtol=2e-5)
+    # final parameters agree too
+    for a, b in zip(jax.tree_util.tree_leaves(tr_seq.net),
+                    jax.tree_util.tree_leaves(tr_fused.net)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
