@@ -84,19 +84,92 @@ def gauss_solve(A: jax.Array, B: jax.Array) -> jax.Array:
     return x[..., 0] if vector_rhs else x
 
 
+def gauss_solve_loop(A: jax.Array, B: jax.Array) -> jax.Array:
+    """:func:`gauss_solve` semantics for medium/large N via ``fori_loop``.
+
+    The unrolled variant emits O(N^2) HLO statements — fine for FDN-sized
+    N<=32, compile-hostile beyond.  This version keeps the same gather-free
+    design (pivot selection and row swaps are one-hot mask reductions, so
+    the VJP is selects + matvecs, never per-bin scatters) but rolls the
+    elimination into two ``lax.fori_loop``s: O(1) compiled statements for
+    any N.
+    """
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    N = A.shape[-1]
+    vector_rhs = B.ndim == A.ndim - 1
+    if vector_rhs:
+        B = B[..., None]
+    rows = jnp.arange(N)
+
+    def fwd_body(k, state):
+        A, B = state
+        ek = rows == k                                   # (N,) one-hot row k
+        colk = jnp.sum(jnp.where(ek, A, 0), axis=-1)     # A[..., :, k]
+        # pivot row among i >= k: one-hot via masked argmax (no gathers)
+        mags = jnp.where(rows >= k, jnp.abs(colk), -1.0)
+        piv = jnp.argmax(mags, axis=-1)                  # (...)
+        epiv = rows == piv[..., None]                    # (..., N) one-hot
+        # swap rows k <-> piv by mask-reduction row extraction; the two
+        # corrections cancel elementwise when piv == k
+        rowk_A = jnp.sum(jnp.where(ek[..., None], A, 0), axis=-2)
+        rowp_A = jnp.sum(jnp.where(epiv[..., None], A, 0), axis=-2)
+        rowk_B = jnp.sum(jnp.where(ek[..., None], B, 0), axis=-2)
+        rowp_B = jnp.sum(jnp.where(epiv[..., None], B, 0), axis=-2)
+        # pure selects (bool*complex converts are unimplemented on some TPU
+        # backends); epiv & ~ek makes piv == k a no-op
+        not_k = epiv & ~ek
+        A = jnp.where(ek[..., None], rowp_A[..., None, :], A)
+        A = jnp.where(not_k[..., None], rowk_A[..., None, :], A)
+        B = jnp.where(ek[..., None], rowp_B[..., None, :], B)
+        B = jnp.where(not_k[..., None], rowk_B[..., None, :], B)
+        # eliminate below the pivot
+        pivval = jnp.sum(jnp.where(ek, rowp_A, 0), axis=-1)  # A[..., k, k]
+        colk = jnp.sum(jnp.where(ek, A, 0), axis=-1)
+        factor = jnp.where(rows > k, colk / pivval[..., None], 0)
+        A = A - factor[..., None] * rowp_A[..., None, :]
+        B = B - factor[..., None] * rowp_B[..., None, :]
+        return A, B
+
+    A, B = jax.lax.fori_loop(0, N, fwd_body, (A, B))
+
+    def back_body(j, x):
+        i = N - 1 - j
+        ei = rows == i
+        rowi_A = jnp.sum(jnp.where(ei[..., None], A, 0), axis=-2)  # (..., N)
+        rowi_B = jnp.sum(jnp.where(ei[..., None], B, 0), axis=-2)  # (..., K)
+        dot = jnp.sum(rowi_A[..., None] * x, axis=-2)              # (..., K)
+        diag = jnp.sum(jnp.where(ei, rowi_A, 0), axis=-1)
+        xi = (rowi_B - dot) / diag[..., None]
+        return jnp.where(ei[..., None], xi[..., None, :], x)
+
+    x = jax.lax.fori_loop(0, N, back_body, jnp.zeros_like(B))
+    return x[..., 0] if vector_rhs else x
+
+
 def closed_loop_solve(A: jax.Array, B: jax.Array, method: str = "ge") -> jax.Array:
     """Dispatch for the Recursion solve.
 
-    method: 'ge' (unrolled elimination, default — fastest for N<=32 on TPU),
-    'pallas' (fused Pallas TPU kernel, vector rhs only), or 'lu'
-    (``jnp.linalg.solve``).
+    method: 'ge' (gather-free elimination, default — unrolled for N<=32,
+    fori_loop for larger N), 'pallas' (fused Pallas TPU kernel, vector rhs
+    only), or 'lu' (``jnp.linalg.solve``).
     """
     if method == "pallas" and B.ndim == A.ndim - 1:
         from flamo_tpu.ops.pallas_solve import pallas_gauss_solve
 
         return pallas_gauss_solve(A, B)
-    if method == "lu" or A.shape[-1] > 32:
+    if method == "lu":
         if B.ndim == A.ndim - 1:
             return jnp.linalg.solve(A, B[..., None])[..., 0]
         return jnp.linalg.solve(A, B)
+    if A.shape[-1] > 32:
+        # the experimental 'axon' tunnel backend raises UNIMPLEMENTED on
+        # (even trivial) fori_loop programs like gauss_solve_loop, same as
+        # it hangs on Mosaic; its batched LU works, so route there.  This
+        # is a trace-time (static) platform check.
+        if jax.default_backend() == "axon":
+            if B.ndim == A.ndim - 1:
+                return jnp.linalg.solve(A, B[..., None])[..., 0]
+            return jnp.linalg.solve(A, B)
+        return gauss_solve_loop(A, B)
     return gauss_solve(A, B)

@@ -232,7 +232,8 @@ class Trainer:
         return np.concatenate(history)
 
     def fit_scan_epochs(self, batched_inputs, batched_targets,
-                        n_epochs: int):
+                        n_epochs: int, valid_inputs=None,
+                        valid_targets=None):
         """TPU fast path for real multi-batch datasets: one dispatched
         ``lax.scan`` program per epoch, consuming one batch per scan step.
 
@@ -275,6 +276,13 @@ class Trainer:
                 jnp.asarray(self._step_count), self._gather_loss_state())
             self._step_count += S
             history.append(np.asarray(losses))
+            self.train_loss.append(float(history[-1].mean()))
+            if valid_inputs is not None:
+                total, _ = self._jitted_valid(
+                    self.net, valid_inputs, valid_targets,
+                    jnp.asarray(self._step_count),
+                    self._gather_loss_state())
+                self.valid_loss.append(float(total))
         return np.concatenate(history)
 
     def train_step(self, data):

@@ -161,3 +161,47 @@ def test_pallas_fdn_solve_grad(pallas_interpret):
     for a, b in zip(g1, g2):
         rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
         assert rel < 1e-3
+
+
+@pytest.mark.parametrize("N", [5, 33, 48])
+def test_gauss_solve_loop_matches_lu(N):
+    from flamo_tpu.ops.solve import gauss_solve_loop
+
+    A, B = _random_system(32, N, seed=N, cond_boost=float(N))
+    y = jax.jit(gauss_solve_loop)(A, B)
+    y_ref = jnp.linalg.solve(A, B[..., None])[..., 0]
+    assert float(jnp.abs(y - y_ref).max() / jnp.abs(y_ref).max()) < 1e-4
+    # matrix rhs
+    Bm = jnp.stack([B, 2 * B], axis=-1)
+    ym = gauss_solve_loop(A, Bm)
+    assert float(jnp.abs(ym - jnp.linalg.solve(A, Bm)).max()
+                 / jnp.abs(ym).max()) < 1e-4
+
+
+def test_gauss_solve_loop_pivoting_and_grad():
+    from flamo_tpu.ops.solve import gauss_solve_loop
+
+    # antidiagonal: every step needs a swap
+    A = jnp.asarray([[0.0 + 0j, 1.0], [1.0, 0.0]])[None]
+    B = jnp.asarray([[2.0 + 0j, 3.0]])
+    y = gauss_solve_loop(A, B)
+    np.testing.assert_allclose(np.asarray(y)[0], [3.0, 2.0], atol=1e-6)
+
+    A, B = _random_system(8, 40, seed=9, cond_boost=40.0)
+
+    def f(solver):
+        return lambda A, B: jnp.sum(jnp.abs(solver(A, B)) ** 2)
+
+    lu = lambda A, B: jnp.linalg.solve(A, B[..., None])[..., 0]
+    gA, gB = jax.grad(f(gauss_solve_loop), argnums=(0, 1))(A, B)
+    rA, rB = jax.grad(f(lu), argnums=(0, 1))(A, B)
+    assert float(jnp.abs(gA - rA).max() / jnp.abs(rA).max()) < 1e-4
+    assert float(jnp.abs(gB - rB).max() / jnp.abs(rB).max()) < 1e-4
+
+
+def test_closed_loop_solve_large_n_uses_loop():
+    # N>32 must route to the fori_loop GE and agree with LU
+    A, B = _random_system(16, 36, seed=4, cond_boost=36.0)
+    y = closed_loop_solve(A, B)
+    y_ref = closed_loop_solve(A, B, method="lu")
+    assert float(jnp.abs(y - y_ref).max() / jnp.abs(y_ref).max()) < 1e-4

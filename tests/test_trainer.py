@@ -143,8 +143,11 @@ def test_fit_scan_epochs_matches_sequential(tmp_path):
             seq_losses.append(tr_seq.train_step((bx[i], bt[i])))
 
     tr_fused = make_trainer()
-    fused = tr_fused.fit_scan_epochs(bx, bt, n_epochs=2)
+    fused = tr_fused.fit_scan_epochs(bx, bt, n_epochs=2,
+                                     valid_inputs=bx[0], valid_targets=bt[0])
     assert fused.shape == (6,)
+    assert len(tr_fused.valid_loss) == 2
+    assert all(np.isfinite(v) for v in tr_fused.valid_loss)
     np.testing.assert_allclose(fused, np.asarray(seq_losses), rtol=2e-5)
     # final parameters agree too
     for a, b in zip(jax.tree_util.tree_leaves(tr_seq.net),
