@@ -54,7 +54,7 @@ def measure_jax_steps_per_sec(n_steps: int = 30):
     return n_steps / dt, float(loss)
 
 
-def measure_jax_scan_steps_per_sec(k: int = 100, n_calls: int = 5):
+def measure_jax_scan_steps_per_sec(k: int = 400, n_calls: int = 2):
     """Production TPU training path: K optimizer steps per dispatch via
     lax.scan (exact for the reference's Dataset.expand semantics, which
     repeat one (input, target) pair)."""

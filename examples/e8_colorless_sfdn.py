@@ -51,12 +51,23 @@ def main(args):
     trainer = Trainer(model, max_epochs=args.max_epochs, lr=args.lr,
                       train_dir=args.train_dir)
     trainer.register_criterion(mse_loss(nfft=nfft), 1)
-    trainer.train(tl, vl)
+    if args.scan:
+        from flamo_tpu.optimize import stack_loader
+
+        bx, bt = stack_loader(tl)
+        history = trainer.fit_scan_epochs(bx, bt, n_epochs=args.max_epochs)
+        print(f"fit_scan_epochs: loss {history[0]:.4f} -> "
+              f"{history[-1]:.4f} over {len(history)} steps")
+    else:
+        trainer.train(tl, vl)
     print("e8_colorless_sfdn final loss:", trainer.train_loss[-1])
     assert np.isfinite(trainer.train_loss[-1])
 
 
 if __name__ == "__main__":
-    args = setup(example_parser(nfft=8192, max_epochs=3, num=16,
-                                batch_size=2, lr=1e-3).parse_args())
+    ap = example_parser(nfft=8192, max_epochs=3, num=16, batch_size=2,
+                        lr=1e-3)
+    ap.add_argument("--scan", action="store_true",
+                    help="fused whole-epoch scan training (TPU fast path)")
+    args = setup(ap.parse_args())
     main(args)
