@@ -29,12 +29,20 @@ def example_parser(**overrides):
     ap.add_argument("--train_dir", type=str, default=None)
     ap.add_argument("--patience_delta", type=float, default=1e-5)
     ap.add_argument("--seed", type=int, default=overrides.get("seed", 130709))
+    ap.add_argument("--dtype", type=str, default="float32",
+                    choices=["float32", "float64"],
+                    help="float64 enables x64 mode (reference examples "
+                         "default to float64 on CPU; TPU is float32-native)")
     return ap
 
 
 def setup(args):
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if args.dtype == "float64":
+        from flamo_tpu.utils import enable_x64
+
+        enable_x64()
     import flamo_tpu
 
     flamo_tpu.set_seed(args.seed)

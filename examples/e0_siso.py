@@ -56,7 +56,8 @@ def main(args):
         type("TimeMSE", (), {"name": "TimeMSE", "__call__":
              lambda self, yp, yt: jnp.mean((yp - yt) ** 2)})(), 1)
     trainer.train(train_loader, valid_loader)
-    assert trainer.train_loss[-1] < trainer.train_loss[0] or \
+    assert len(trainer.train_loss) < 2 or \
+        trainer.train_loss[-1] < trainer.train_loss[0] or \
         trainer.train_loss[0] < 1e-6
     print("e0 done; final loss", trainer.train_loss[-1])
 

@@ -38,7 +38,8 @@ def main(args):
              lambda self, yp, yt: jnp.mean((yp - yt) ** 2)})(), 1)
     trainer.train(tl, vl)
     print("e7_biquad final loss:", trainer.train_loss[-1])
-    assert trainer.train_loss[-1] < trainer.train_loss[0] * 1.05
+    assert len(trainer.train_loss) < 2 or \
+        trainer.train_loss[-1] < trainer.train_loss[0] * 1.05
 
 
 if __name__ == "__main__":

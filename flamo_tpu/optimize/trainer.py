@@ -270,7 +270,7 @@ class Trainer:
             self._scan_epoch_jit = jax.jit(epoch_fn, donate_argnums=(0, 1))
 
         history = []
-        for _ in range(n_epochs):
+        for epoch in range(n_epochs):
             self.net, self._opt_state, losses = self._scan_epoch_jit(
                 self.net, self._opt_state, batched_inputs, batched_targets,
                 jnp.asarray(self._step_count), self._gather_loss_state())
@@ -283,6 +283,11 @@ class Trainer:
                     jnp.asarray(self._step_count),
                     self._gather_loss_state())
                 self.valid_loss.append(float(total))
+            if self.log:
+                self.save_model(epoch)
+            if valid_inputs is not None and self.early_stop():
+                print(f"Early stopping at epoch: {epoch}")
+                break
         return np.concatenate(history)
 
     def train_step(self, data):
