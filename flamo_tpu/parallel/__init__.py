@@ -1,4 +1,5 @@
 from flamo_tpu.parallel.mesh import (
     get_mesh, shard_spectrum, replicate, bin_sharded_forward,
 )
+from flamo_tpu.parallel.dp import make_dp_train_step, shard_batch
 from flamo_tpu.parallel.ensemble import MultiSeedEnsemble

@@ -37,6 +37,7 @@ MODULES = [
     "flamo_tpu.auxiliary.velvet",
     "flamo_tpu.auxiliary.config",
     "flamo_tpu.parallel.mesh",
+    "flamo_tpu.parallel.dp",
     "flamo_tpu.parallel.ensemble",
     "flamo_tpu.models.colorless_fdn",
     "flamo_tpu.models.active_acoustics",

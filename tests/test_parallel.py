@@ -76,3 +76,52 @@ def test_multi_seed_ensemble(mesh_seed=None):
     best = ens.best_model()
     y = jax.jit(lambda m, x: m(x))(best, x)
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_dp_train_step_matches_single_device():
+    """shard_map DP step (grad pmean over 4 devices) must match the
+    single-device step on the same global batch."""
+    import optax
+    from flamo_tpu.parallel import make_dp_train_step, shard_batch
+    from flamo_tpu.parallel.mesh import get_mesh
+
+    dp_mesh = get_mesh(4, "batch")
+    flamo_tpu.set_seed(11)
+    model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+    M = NFFT // 2 + 1
+    B = 8
+    inputs = jnp.zeros((B, M, 1)).at[:, 0, :].set(1.0)
+    targets = jnp.ones((B, M, 1)) * jnp.linspace(
+        0.8, 1.2, B)[:, None, None]
+
+    def loss_fn(m, x, t):
+        y = m(x)
+        return jnp.mean((y - t) ** 2)
+
+    tx = optax.adam(1e-2)
+
+    # single device reference
+    @jax.jit
+    def ref_step(m, o, x, t):
+        loss, g = jax.value_and_grad(lambda mm: loss_fn(mm, x, t))(m)
+        u, o = tx.update(g, o, m)
+        return optax.apply_updates(m, u), o, loss
+
+    m_ref, o_ref = model, tx.init(model)
+    m_dp, o_dp = model, tx.init(model)
+    dp_step = make_dp_train_step(loss_fn, tx, dp_mesh, "batch")
+    x_sh, t_sh = shard_batch((inputs, targets), dp_mesh, "batch")
+
+    for _ in range(3):
+        m_ref, o_ref, l_ref = ref_step(m_ref, o_ref, inputs, targets)
+        m_dp, o_dp, l_dp = dp_step(m_dp, o_dp, x_sh, t_sh)
+
+    np.testing.assert_allclose(float(l_dp), float(l_ref), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(m_dp),
+                    jax.tree_util.tree_leaves(m_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+
+    # ragged batch is rejected eagerly
+    with pytest.raises(ValueError, match="not divisible"):
+        dp_step(m_dp, o_dp, inputs[:7], targets[:7])
