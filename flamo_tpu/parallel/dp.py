@@ -17,8 +17,19 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-from jax.experimental.shard_map import shard_map
 from jax.sharding import NamedSharding, PartitionSpec as P
+
+try:
+    from jax import shard_map as _shard_map  # JAX >= 0.8
+    _REP_KWARG = "check_vma"
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+    _REP_KWARG = "check_rep"
+
+
+def shard_map(f, **kwargs):
+    kwargs[_REP_KWARG] = kwargs.pop("check_vma", True)
+    return _shard_map(f, **kwargs)
 
 
 def make_dp_train_step(loss_fn, tx, mesh, axis_name: str = "batch"):
@@ -53,7 +64,7 @@ def make_dp_train_step(loss_fn, tx, mesh, axis_name: str = "batch"):
         shard_step, mesh=mesh,
         in_specs=(rep, rep, batch_spec, batch_spec),
         out_specs=(rep, rep, rep),
-        check_rep=False,
+        check_vma=False,
     )
 
     @partial(jax.jit, donate_argnums=(0, 1))

@@ -17,8 +17,16 @@ M = NFFT // 2 + 1
 
 
 def _random_mimo(rng, n_in, n_out):
-    choice = rng.integers(0, 6)
+    choice = rng.integers(0, 9)
     kw = dict(nfft=NFFT)
+    if choice == 6 and n_in == n_out and n_in > 1:
+        return dsp.HouseholderMatrix(size=(n_in, n_in), **kw)
+    if choice == 7:
+        return dsp.GEQ(size=(n_out, n_in), octave_interval=1, fs=48000,
+                       requires_grad=True, **kw)
+    if choice == 8:
+        return dsp.SOSFilter(size=(n_out, n_in), n_sections=2, fs=48000,
+                             **kw)
     if choice == 0:
         return dsp.Gain(size=(n_out, n_in), requires_grad=True, **kw)
     if choice == 1:
@@ -55,11 +63,15 @@ def _random_diag(rng, n):
 
 
 def _random_graph(rng, n_in, n_out, depth=0):
-    kind = rng.integers(0, 4 if depth < 2 else 2)
+    kind = rng.integers(0, 5 if depth < 2 else 2)
     if kind == 0 or depth >= 2:
         return _random_mimo(rng, n_in, n_out)
     if kind == 1 and n_in == n_out:
         return _random_diag(rng, n_in)
+    if kind == 4:
+        a = _random_graph(rng, n_in, n_out, depth + 1)
+        b = _random_graph(rng, n_in, n_out, depth + 1)
+        return system.Parallel(a, b, sum_output=True)
     if kind == 2:
         mid = int(rng.integers(1, 4))
         a = _random_graph(rng, n_in, mid, depth + 1)
@@ -80,7 +92,7 @@ def _random_graph(rng, n_in, n_out, depth=0):
     return system.Series(OrderedDict({f"p{depth}": pre, f"l{depth}": loop}))
 
 
-@pytest.mark.parametrize("seed", range(12))
+@pytest.mark.parametrize("seed", range(24))
 def test_random_graph_consistency(seed):
     flamo_tpu.set_seed(1000 + seed)
     rng = np.random.default_rng(seed)
