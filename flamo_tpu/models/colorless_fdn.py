@@ -29,7 +29,9 @@ def _abs(x):
 
 def build_colorless_fdn(nfft: int = 96000, delays=DEFAULT_DELAYS,
                         alias_decay_db: float = 30.0, dtype=jnp.float32,
-                        cache_delays: bool = False, key=None) -> system.Shell:
+                        cache_delays: bool = False,
+                        solve_method: str = "ge",
+                        key=None) -> system.Shell:
     """Shell(FFT -> [Gain, Recursion(parallelDelay, orthogonal Matrix),
     Gain] -> abs) (reference e8_colorless_fdn.py:33-106).
 
@@ -58,7 +60,8 @@ def build_colorless_fdn(nfft: int = 96000, delays=DEFAULT_DELAYS,
                           requires_grad=True,
                           alias_decay_db=alias_decay_db, dtype=dtype,
                           key=keys[3])
-    feedback_loop = system.Recursion(fF=delay_mod, fB=feedback)
+    feedback_loop = system.Recursion(fF=delay_mod, fB=feedback,
+                                     solve_method=solve_method)
     core = system.Series(OrderedDict({
         "input_gain": input_gain,
         "feedback_loop": feedback_loop,

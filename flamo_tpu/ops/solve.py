@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 
-def gauss_solve(A: jax.Array, B: jax.Array) -> jax.Array:
+def gauss_solve(A: jax.Array, B: jax.Array, pivot: bool = True) -> jax.Array:
     """Solve ``A x = B`` for small trailing dims, batched over leading dims.
 
     A: (..., N, N); B: (..., N) or (..., N, K).  Unrolled Gaussian
@@ -28,6 +28,11 @@ def gauss_solve(A: jax.Array, B: jax.Array) -> jax.Array:
     the batch, so the unrolled program is pure elementwise math that XLA
     fuses.  Matches ``jnp.linalg.solve`` to ~1e-6 for well-conditioned
     closed-loop matrices.
+
+    ``pivot=False`` skips the pivot search/swap (~40% of the vector ops) —
+    only safe when every diagonal stays well away from zero throughout
+    elimination (e.g. diagonally-dominant-ish closed loops); exposed as
+    ``closed_loop_solve(method='ge_nopivot')``.
     """
     A = jnp.asarray(A)
     B = jnp.asarray(B)
@@ -45,26 +50,27 @@ def gauss_solve(A: jax.Array, B: jax.Array) -> jax.Array:
     brows = [B[..., i, :] for i in range(N)]
 
     for k in range(N):
-        # partial pivoting: pick the row (k..N-1) with max |A[i, k]|.
-        # Selection is done with pure jnp.where chains — no gathers — so
-        # both forward AND backward lower to fused VPU selects (a
-        # take_along_axis here would make the VJP a per-bin scatter,
-        # which serializes on TPU).
-        mags = jnp.stack([jnp.abs(arows[i][..., k]) for i in range(k, N)],
-                         axis=-1)
-        piv = jnp.argmax(mags, axis=-1)  # (...) int in [0, N-k)
-        pa = arows[k]
-        pb = brows[k]
-        for i in range(k + 1, N):
-            sel = (piv == (i - k))[..., None]
-            pa = jnp.where(sel, arows[i], pa)
-            pb = jnp.where(sel, brows[i], pb)
-        # swap: the row that provided the pivot receives old row k
-        for i in range(k + 1, N):
-            is_piv = (piv == (i - k))[..., None]
-            arows[i] = jnp.where(is_piv, arows[k], arows[i])
-            brows[i] = jnp.where(is_piv, brows[k], brows[i])
-        arows[k], brows[k] = pa, pb
+        if pivot:
+            # partial pivoting: pick the row (k..N-1) with max |A[i, k]|.
+            # Selection is done with pure jnp.where chains — no gathers —
+            # so both forward AND backward lower to fused VPU selects (a
+            # take_along_axis here would make the VJP a per-bin scatter,
+            # which serializes on TPU).
+            mags = jnp.stack([jnp.abs(arows[i][..., k])
+                              for i in range(k, N)], axis=-1)
+            piv = jnp.argmax(mags, axis=-1)  # (...) int in [0, N-k)
+            pa = arows[k]
+            pb = brows[k]
+            for i in range(k + 1, N):
+                sel = (piv == (i - k))[..., None]
+                pa = jnp.where(sel, arows[i], pa)
+                pb = jnp.where(sel, brows[i], pb)
+            # swap: the row that provided the pivot receives old row k
+            for i in range(k + 1, N):
+                is_piv = (piv == (i - k))[..., None]
+                arows[i] = jnp.where(is_piv, arows[k], arows[i])
+                brows[i] = jnp.where(is_piv, brows[k], brows[i])
+            arows[k], brows[k] = pa, pb
 
         inv_pivot = 1.0 / arows[k][..., k]
         for i in range(k + 1, N):
@@ -151,13 +157,16 @@ def closed_loop_solve(A: jax.Array, B: jax.Array, method: str = "ge") -> jax.Arr
     """Dispatch for the Recursion solve.
 
     method: 'ge' (gather-free elimination, default — unrolled for N<=32,
-    fori_loop for larger N), 'pallas' (fused Pallas TPU kernel, vector rhs
-    only), or 'lu' (``jnp.linalg.solve``).
+    fori_loop for larger N), 'ge_nopivot' (unrolled, no pivot search —
+    faster, caller guarantees nonvanishing pivots), 'pallas' (fused Pallas
+    TPU kernel, vector rhs only), or 'lu' (``jnp.linalg.solve``).
     """
     if method == "pallas" and B.ndim == A.ndim - 1:
         from flamo_tpu.ops.pallas_solve import pallas_gauss_solve
 
         return pallas_gauss_solve(A, B)
+    if method == "ge_nopivot":
+        return gauss_solve(A, B, pivot=False)
     if method == "lu":
         if B.ndim == A.ndim - 1:
             return jnp.linalg.solve(A, B[..., None])[..., 0]

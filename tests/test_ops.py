@@ -205,3 +205,11 @@ def test_closed_loop_solve_large_n_uses_loop():
     y = closed_loop_solve(A, B)
     y_ref = closed_loop_solve(A, B, method="lu")
     assert float(jnp.abs(y - y_ref).max() / jnp.abs(y_ref).max()) < 1e-4
+
+
+def test_gauss_solve_nopivot_matches_on_dominant():
+    # no-pivot variant agrees when pivots never vanish (closed-loop shape)
+    A, B = _random_system(64, 6, seed=3, cond_boost=6.0)
+    y = closed_loop_solve(A, B, method="ge_nopivot")
+    y_ref = closed_loop_solve(A, B, method="lu")
+    assert float(jnp.abs(y - y_ref).max() / jnp.abs(y_ref).max()) < 1e-4
