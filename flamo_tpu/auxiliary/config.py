@@ -30,6 +30,7 @@ class HomogeneousFDNConfig(BaseModel):
     mixing_matrix_grad: bool = True
     attenuation_grad: bool = True
     is_delay_int: bool = True
+    solve_method: str = "ge"  # 'ge' | 'ge_nopivot' | 'pallas' | 'lu'
 
     def __init__(self, **data):
         super().__init__(**data)

@@ -189,7 +189,9 @@ class HomogeneousFDN:
 
         feedforward = system.Series(
             OrderedDict({"delays": delays, "attenuation": attenuation}))
-        feedback_loop = system.Recursion(fF=feedforward, fB=mixing_matrix)
+        feedback_loop = system.Recursion(
+            fF=feedforward, fB=mixing_matrix,
+            solve_method=getattr(cfg, "solve_method", "ge"))
         return system.Series(OrderedDict({
             "input_gain": input_gain,
             "feedback_loop": feedback_loop,
