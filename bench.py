@@ -145,7 +145,8 @@ def measure_ensemble_steps_per_sec(n_seeds: int = 8, n_steps: int = 50):
     flamo_tpu.set_seed(130709)
     with host_eager():
         ens = MultiSeedEnsemble(
-            lambda k: build_colorless_fdn(nfft=NFFT, delays=DELAYS, key=k),
+            lambda k: build_colorless_fdn(nfft=NFFT, delays=DELAYS,
+                                          solve_method="ge_nopivot", key=k),
             n_seeds=n_seeds)
         M = NFFT // 2 + 1
         inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
