@@ -90,6 +90,35 @@ def gauss_solve(A: jax.Array, B: jax.Array, pivot: bool = True) -> jax.Array:
     return x[..., 0] if vector_rhs else x
 
 
+def gauss_solve_mat(A: jax.Array, B: jax.Array) -> jax.Array:
+    """No-pivot elimination in matrix form: one rank-1 update per column
+    instead of per-row ops — ~2.5x fewer but LARGER kernels.  Measured on
+    the flagship workload this LOSES to the row form 4x (417 vs 1636
+    steps/s): each rank-1 update touches the full (M, N, N) panel, so HBM
+    traffic grows ~N/2-fold and the solve is bandwidth-bound, not
+    launch-overhead-bound.  Kept as a pinned-correct reference point;
+    prefer ``gauss_solve(pivot=False)``.  Exposed as
+    ``closed_loop_solve(method='ge_mat')``."""
+    A = jnp.asarray(A)
+    B = jnp.asarray(B)
+    N = A.shape[-1]
+    vec = B.ndim == A.ndim - 1
+    if vec:
+        B = B[..., None]
+    rows = jnp.arange(N)
+    for k in range(N):
+        col = A[..., :, k]
+        pivot = col[..., k:k + 1]
+        factor = jnp.where(rows > k, col / pivot, 0)[..., None]
+        A = A - factor * A[..., k:k + 1, :]
+        B = B - factor * B[..., k:k + 1, :]
+    X = jnp.zeros_like(B)
+    for i in range(N - 1, -1, -1):
+        dot = jnp.einsum("...j,...jk->...k", A[..., i, :], X)
+        X = X.at[..., i, :].set((B[..., i, :] - dot) / A[..., i, i:i + 1])
+    return X[..., 0] if vec else X
+
+
 def gauss_solve_loop(A: jax.Array, B: jax.Array) -> jax.Array:
     """:func:`gauss_solve` semantics for medium/large N via ``fori_loop``.
 
@@ -167,6 +196,8 @@ def closed_loop_solve(A: jax.Array, B: jax.Array, method: str = "ge") -> jax.Arr
         return pallas_gauss_solve(A, B)
     if method == "ge_nopivot":
         return gauss_solve(A, B, pivot=False)
+    if method == "ge_mat":
+        return gauss_solve_mat(A, B)
     if method == "lu":
         if B.ndim == A.ndim - 1:
             return jnp.linalg.solve(A, B[..., None])[..., 0]

@@ -213,3 +213,24 @@ def test_gauss_solve_nopivot_matches_on_dominant():
     y = closed_loop_solve(A, B, method="ge_nopivot")
     y_ref = closed_loop_solve(A, B, method="lu")
     assert float(jnp.abs(y - y_ref).max() / jnp.abs(y_ref).max()) < 1e-4
+
+
+def test_gauss_solve_mat_matches_lu():
+    from flamo_tpu.ops.solve import gauss_solve_mat
+
+    A, B = _random_system(64, 6, seed=5, cond_boost=6.0)
+    y = jax.jit(gauss_solve_mat)(A, B)
+    y_ref = jnp.linalg.solve(A, B[..., None])[..., 0]
+    assert float(jnp.abs(y - y_ref).max() / jnp.abs(y_ref).max()) < 1e-4
+    # matrix rhs + grads
+    Bm = jnp.stack([B, 3 * B], axis=-1)
+    ym = gauss_solve_mat(A, Bm)
+    assert float(jnp.abs(ym - jnp.linalg.solve(A, Bm)).max()
+                 / jnp.abs(ym).max()) < 1e-4
+    g = jax.grad(lambda A, B: jnp.sum(jnp.abs(gauss_solve_mat(A, B)) ** 2),
+                 argnums=(0, 1))(A, B)
+    gr = jax.grad(lambda A, B: jnp.sum(
+        jnp.abs(jnp.linalg.solve(A, B[..., None])[..., 0]) ** 2),
+        argnums=(0, 1))(A, B)
+    for a, b in zip(g, gr):
+        assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 1e-4
