@@ -16,11 +16,13 @@ Reference semantics: torch.linalg.solve at flamo/processor/system.py:425.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
 
-def gauss_solve(A: jax.Array, B: jax.Array, pivot: bool = True) -> jax.Array:
+def _gauss_solve_raw(A: jax.Array, B: jax.Array, pivot: bool = True) -> jax.Array:
     """Solve ``A x = B`` for small trailing dims, batched over leading dims.
 
     A: (..., N, N); B: (..., N) or (..., N, K).  Unrolled Gaussian
@@ -88,6 +90,37 @@ def gauss_solve(A: jax.Array, B: jax.Array, pivot: bool = True) -> jax.Array:
 
     x = jnp.stack(xrows, axis=-2)  # (..., N, K)
     return x[..., 0] if vector_rhs else x
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gauss_solve(A: jax.Array, B: jax.Array, pivot: bool = True) -> jax.Array:
+    """:func:`_gauss_solve_raw` with the classical solve VJP.
+
+    Differentiating THROUGH the unrolled elimination stores every row
+    intermediate (HBM traffic dominates this solver); the closed form
+    needs only one transpose-solve: ``B_bar = A^{-T} Y_bar`` and
+    ``A_bar = -B_bar Y^T`` (JAX's unconjugated-transpose cotangent
+    convention, same derivation as ops/pallas_solve.py)."""
+    return _gauss_solve_raw(A, B, pivot)
+
+
+def _gauss_solve_fwd(A, B, pivot):
+    Y = _gauss_solve_raw(A, B, pivot)
+    return Y, (A, Y)
+
+
+def _gauss_solve_bwd(pivot, res, Y_bar):
+    A, Y = res
+    AT = jnp.swapaxes(A, -1, -2)  # unconjugated transpose
+    B_bar = _gauss_solve_raw(AT, Y_bar, pivot)
+    if Y.ndim == A.ndim - 1:  # vector rhs
+        A_bar = -B_bar[..., :, None] * Y[..., None, :]
+    else:
+        A_bar = -jnp.einsum("...ik,...jk->...ij", B_bar, Y)
+    return A_bar, B_bar
+
+
+gauss_solve.defvjp(_gauss_solve_fwd, _gauss_solve_bwd)
 
 
 def gauss_solve_mat(A: jax.Array, B: jax.Array) -> jax.Array:

@@ -234,3 +234,16 @@ def test_gauss_solve_mat_matches_lu():
         argnums=(0, 1))(A, B)
     for a, b in zip(g, gr):
         assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 1e-4
+
+
+def test_gauss_solve_custom_vjp_matrix_rhs_grads():
+    # closed-form VJP path for matrix rhs, both pivot modes
+    A, B = _random_system(16, 5, seed=8, cond_boost=5.0)
+    Bm = jnp.stack([B, 0.5 * B], axis=-1)
+    for pv in (True, False):
+        g = jax.grad(lambda A, R: jnp.sum(
+            jnp.abs(gauss_solve(A, R, pv)) ** 2), argnums=(0, 1))(A, Bm)
+        gr = jax.grad(lambda A, R: jnp.sum(
+            jnp.abs(jnp.linalg.solve(A, R)) ** 2), argnums=(0, 1))(A, Bm)
+        for a, b in zip(g, gr):
+            assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 1e-4
