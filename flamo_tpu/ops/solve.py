@@ -152,6 +152,7 @@ def gauss_solve_mat(A: jax.Array, B: jax.Array) -> jax.Array:
     return X[..., 0] if vec else X
 
 
+@jax.custom_vjp
 def gauss_solve_loop(A: jax.Array, B: jax.Array) -> jax.Array:
     """:func:`gauss_solve` semantics for medium/large N via ``fori_loop``.
 
@@ -213,6 +214,26 @@ def gauss_solve_loop(A: jax.Array, B: jax.Array) -> jax.Array:
 
     x = jax.lax.fori_loop(0, N, back_body, jnp.zeros_like(B))
     return x[..., 0] if vector_rhs else x
+
+
+def _gauss_solve_loop_fwd(A, B):
+    Y = gauss_solve_loop(A, B)
+    return Y, (A, Y)
+
+
+def _gauss_solve_loop_bwd(res, Y_bar):
+    # closed-form solve cotangent — differentiating through two fori_loops
+    # would otherwise store every iteration's carries
+    A, Y = res
+    B_bar = gauss_solve_loop(jnp.swapaxes(A, -1, -2), Y_bar)
+    if Y.ndim == A.ndim - 1:
+        A_bar = -B_bar[..., :, None] * Y[..., None, :]
+    else:
+        A_bar = -jnp.einsum("...ik,...jk->...ij", B_bar, Y)
+    return A_bar, B_bar
+
+
+gauss_solve_loop.defvjp(_gauss_solve_loop_fwd, _gauss_solve_loop_bwd)
 
 
 def closed_loop_solve(A: jax.Array, B: jax.Array, method: str = "ge") -> jax.Array:
