@@ -247,3 +247,26 @@ def test_gauss_solve_custom_vjp_matrix_rhs_grads():
             jnp.abs(jnp.linalg.solve(A, R)) ** 2), argnums=(0, 1))(A, Bm)
         for a, b in zip(g, gr):
             assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 1e-4
+
+
+def test_gauss_solve_cached_matches_lu():
+    from flamo_tpu.ops.solve import gauss_solve_cached
+
+    A, B = _random_system(32, 6, seed=12, cond_boost=6.0)
+    Bm = jnp.stack([B, 0.3 * B], axis=-1)
+    for rhs in (B, Bm):
+        y = jax.jit(gauss_solve_cached)(A, rhs)
+        ref = jnp.linalg.solve(A, rhs[..., None])[..., 0] \
+            if rhs.ndim == 2 else jnp.linalg.solve(A, rhs)
+        assert float(jnp.abs(y - ref).max() / jnp.abs(ref).max()) < 1e-4
+        g = jax.grad(lambda A, R: jnp.sum(
+            jnp.abs(gauss_solve_cached(A, R)) ** 2), argnums=(0, 1))(A, rhs)
+        if rhs.ndim == 2:
+            gr = jax.grad(lambda A, R: jnp.sum(jnp.abs(
+                jnp.linalg.solve(A, R[..., None])[..., 0]) ** 2),
+                argnums=(0, 1))(A, rhs)
+        else:
+            gr = jax.grad(lambda A, R: jnp.sum(
+                jnp.abs(jnp.linalg.solve(A, R)) ** 2), argnums=(0, 1))(A, rhs)
+        for a, b in zip(g, gr):
+            assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 1e-4
