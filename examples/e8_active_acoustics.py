@@ -1,126 +1,196 @@
 """Active Acoustics (reference examples/e8_active_acoustics.py, DAFx-24):
-a MIMO feedback loop of measured room responses around a trainable FIR
-matrix + virtual-room WGN reverb, optimized with an eigenvalue-magnitude
-loss over random bin partitions, plus GBI (gain-before-instability)
-analysis via the host-callback eigenvalue solver.
+the full AA workflow — physical room (measured or synthetic WGN-reverb
+RIR matrices), virtual room (trainable FIR matrix U + WGN reverb tail R +
+general gain G), feedback-loop shell F_MM — trained with the reference's
+eigenvalue objective MSE_evs (reference :564-621), differentiated THROUGH
+the eigendecomposition via flamo_tpu.functional.eigvals.
 
-Measured RIR matrices are not shipped; synthetic WGN-reverb RIRs stand in
+Workflow parity with the reference example (:661-750):
+  normalize_U -> GBI init -> set_G(GBI + 0 dB) -> evs/IR at init ->
+  train MSE_evs -> normalize_U -> evs/IR optimized -> .mat params +
+  eigenvalue-distribution and spectrogram plots into train_dir.
+
+Measured RIR matrices are not shipped; synthetic WGN-reverb rooms stand in
 (pass --rir_dir with mic{i}_speaker{j}.wav files for measured ones)."""
 
 import sys, os
 sys.path.insert(0, os.path.dirname(__file__))
 
-from collections import OrderedDict
-
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 from _common import example_parser, setup
 
 
+def load_measured_rirs(rir_dir, n_S, n_M, n_L, n_A, rir_length):
+    """Assemble the room dict from mic{i}_speaker{j}.wav files laid out like
+    the reference's Otala set (reference e8_active_acoustics.py:464-560):
+    speakers 1..n_L drive mics 1..n_M; the last mic column stands in for
+    the audience and the last speaker for the source."""
+    from scipy.io import wavfile
+
+    def wav(i, j):
+        _, data = wavfile.read(
+            os.path.join(rir_dir, f"mic{i}_speaker{j}.wav"))
+        data = data.astype(np.float32)
+        if data.ndim > 1:
+            data = data[:, 0]
+        return data[:rir_length]
+
+    H_LM = np.stack([np.stack([wav(i + 1, j + 1) for j in range(n_L)], -1)
+                     for i in range(n_M)], 1)
+    H_SM = H_LM[:, :, -n_S:]
+    H_LA = H_LM[:, -n_A:, :]
+    H_SA = H_LM[:, -n_A:, -n_S:]
+    return {"H_LM": H_LM, "H_SM": H_SM, "H_LA": H_LA, "H_SA": H_SA}
+
+
+def plot_evs_distributions(evs_init, evs_opt, fs, nfft, path):
+    """Magnitude distribution of eigenvalues inside 20 Hz - 20 kHz
+    (reference e8_active_acoustics.py:335-395)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    idx1 = int(nfft / fs * 20)
+    idx2 = int(nfft / fs * min(20000, fs // 2 - 1))
+    e1 = np.abs(np.asarray(evs_init))[idx1:idx2].flatten()
+    e2 = np.abs(np.asarray(evs_opt))[idx1:idx2].flatten()
+    fig, ax = plt.subplots(figsize=(6, 4))
+    ax.boxplot([e1, e2], tick_labels=["Initialized", "Optimized"])
+    ax.set_ylabel("Magnitude")
+    ax.set_title("Eigenvalue magnitude distribution (20 Hz - 20 kHz)")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def plot_spectrograms(ir_init, ir_opt, fs, path):
+    """System-IR spectrograms before/after optimization
+    (reference e8_active_acoustics.py:398-461)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(1, 2, figsize=(10, 4), sharey=True)
+    for ax, ir, title in ((axes[0], ir_init, "Initialized"),
+                          (axes[1], ir_opt, "Optimized")):
+        ir = np.asarray(ir).squeeze()
+        nperseg = min(512, max(16, len(ir) // 8))
+        ax.specgram(ir, NFFT=nperseg, Fs=fs, noverlap=nperseg // 2)
+        ax.set_title(title)
+        ax.set_xlabel("Time (s)")
+    axes[0].set_ylabel("Frequency (Hz)")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+
+
+def save_model_params(aa, train_dir, filename):
+    """Export the AA parameters to .mat
+    (reference e8_active_acoustics.py:629-655)."""
+    from scipy.io import savemat
+
+    param = {
+        "FIR_matrix": np.asarray(aa.U.param).squeeze(),
+        "WGN_reverb": np.asarray(aa.R.param).squeeze(),
+        "G": np.asarray(aa.G.param).squeeze(),
+        "H_LM": np.asarray(aa.H_LM.param).squeeze(),
+        "H_LA": np.asarray(aa.H_LA.param).squeeze(),
+        "H_SM": np.asarray(aa.H_SM.param).squeeze(),
+        "H_SA": np.asarray(aa.H_SA.param).squeeze(),
+    }
+    savemat(os.path.join(train_dir, filename + ".mat"), param)
+    return param
+
+
 def main(args):
-    from flamo_tpu.processor import dsp, system
-    from flamo_tpu.optimize import Dataset, Trainer, load_dataset
-    from flamo_tpu.optimize.utils import generate_partitions
-    from flamo_tpu.functional import (
-        WGN_reverb, get_eigenvalues, get_magnitude, signal_gallery,
-    )
+    import jax.numpy as jnp
+
+    from flamo_tpu.functional import db2mag, mag2db, get_magnitude
+    from flamo_tpu.models import ActiveAcoustics
+    from flamo_tpu.optimize import DatasetColorless, Trainer, load_dataset
+    from flamo_tpu.optimize.loss import mse_evs
 
     nfft = args.nfft
     M = nfft // 2 + 1
-    n_mics, n_lds = 2, 3   # scaled-down 4x13 of the reference
-    rir_length = nfft // 4
+    n_S, n_A = 1, 1
+    room_irs = None
+    if args.rir_dir:
+        room_irs = load_measured_rirs(args.rir_dir, n_S, args.mics,
+                                      args.loudspeakers, n_A,
+                                      args.rir_length)
 
-    # physical room: loudspeaker->mic RIR matrix (synthetic WGN reverb)
-    H_LM = WGN_reverb((n_mics, n_lds), t60=0.2,
-                      samplerate=args.samplerate)[:rir_length]
-    room = dsp.Filter(size=(rir_length, n_mics, n_lds), nfft=nfft,
-                      requires_grad=False)
-    room = room.assign_value(H_LM)
+    aa = ActiveAcoustics(n_S=n_S, n_M=args.mics, n_L=args.loudspeakers,
+                         n_A=n_A, fs=args.samplerate, nfft=nfft,
+                         FIR_order=args.fir_order, wgn_RT=args.wgn_rt,
+                         alias_decay_db=args.alias_decay_db,
+                         room_irs=room_irs, rir_length=args.rir_length,
+                         room_t60=args.room_t60)
 
-    # trainable mixing FIR matrix (the "DSP" of the active acoustics system)
-    fir_order = 32
-    mixer = dsp.Filter(size=(fir_order, n_lds, n_mics), nfft=nfft,
-                       requires_grad=True)
+    # ---- performance at initialization (reference :699-707) ----
+    aa.normalize_U()
+    gbi_init = aa.get_current_GBI()
+    aa.set_G(db2mag(mag2db(gbi_init) + args.start_gain_db))
+    evs_init = aa.get_F_MM_eigenvalues()[0]
+    ir_init = aa.system_simulation()[0]
+    save_model_params(aa, args.train_dir, "AA_parameters_init")
 
-    loop = system.Recursion(fF=room, fB=mixer)
-    model = system.Shell(core=loop, input_layer=dsp.FFT(nfft),
-                         output_layer=dsp.Transform(lambda z: z))
-
-    # eigenvalue loss over random bin partitions (reference 563-621)
-    class MSE_evs:
-        name = "MSE_evs"
-        stateful = True
-
-        def __init__(self, nfft, n_samples):
-            self.nfft = nfft
-            self.n_samples = n_samples
-            self.mask_indices = generate_partitions(
-                jnp.arange(nfft // 2 + 1), n_samples, 1)
-            self.n_masks = self.mask_indices.shape[0]
-
-        def __call__(self, y_pred, y_true, step=None, state=None):
-            masks = self.mask_indices if state is None else state
-            i = 0 if step is None else step % masks.shape[0]
-            idx = masks[i]
-            # y_pred is the loop spectrum (B, M, n_mics, n_lds)... use the
-            # feedback-loop response magnitude at sampled bins
-            evs = get_magnitude(y_pred[:, idx])
-            return jnp.mean((evs - y_true[:, idx]) ** 2)
-
-    ds = Dataset(input=signal_gallery(1, nfft, n_lds, "impulse"),
-                 target=jnp.ones((1, M, n_mics)), expand=args.num)
-    tl, vl = load_dataset(ds, batch_size=args.batch_size, split=args.split)
-    trainer = Trainer(model, max_epochs=args.max_epochs, lr=args.lr,
+    # ---- train the eigenvalue objective (reference :709-739) ----
+    ds = DatasetColorless(input_shape=(args.batch_size, M, args.mics),
+                          target_shape=(args.batch_size, M, args.mics),
+                          expand=args.num)
+    train_loader, valid_loader = load_dataset(
+        ds, batch_size=args.batch_size, split=args.split, shuffle=False)
+    trainer = Trainer(aa.F_MM, max_epochs=args.max_epochs, lr=args.lr,
+                      patience_delta=args.patience_delta,
                       train_dir=args.train_dir)
-    trainer.register_criterion(MSE_evs(nfft, M // 8), 1)
-    if args.gbi_reg > 0:
-        # stability regularizer: penalize open-loop spectral radius above
-        # the margin, computed fully on device (differentiable power
-        # iteration) — not expressible in the reference, whose GBI is
-        # eager host-side analysis only
-        from flamo_tpu.models import open_loop_matrix
-        from flamo_tpu.functional import spectral_radius
+    trainer.register_criterion(mse_evs(iter_num=len(train_loader),
+                                       freq_points=M), 1)
+    trainer.train(train_loader, valid_loader)
+    print("active acoustics final MSE_evs:", trainer.train_loss[-1])
+    assert np.isfinite(trainer.train_loss[-1])
+    assert trainer.train_loss[-1] <= trainer.train_loss[0] * 1.05, (
+        "eigenvalue loss did not improve")
 
-        class GBIReg:
-            name = "gbi_reg"
+    # ---- performance after optimization (reference :741-755) ----
+    aa.adopt(trainer.net)
+    aa.normalize_U()
+    evs_opt = aa.get_F_MM_eigenvalues()[0]
+    ir_opt = aa.system_simulation()[0]
+    gbi_opt = aa.get_current_GBI()
+    print(f"GBI init = {float(mag2db(gbi_init)):.2f} dB, "
+          f"GBI optimized = {float(mag2db(gbi_opt)):.2f} dB")
+    save_model_params(aa, args.train_dir, "AA_parameters_optim")
 
-            def __call__(self, y_pred, y_true, model):
-                rho = spectral_radius(open_loop_matrix(model, subsample=64),
-                                      iters=24)
-                return jnp.sum(jax.nn.relu(jnp.max(rho) - args.gbi_margin))
-
-        trainer.register_criterion(GBIReg(), args.gbi_reg,
-                                   requires_model=True)
-    trainer.train(tl, vl)
-    print("active acoustics final loss:", trainer.train_loss[-1])
-
-    # GBI: gain before instability from open-loop eigenvalues
-    # (use the trained modules — the originals were donated to the jit step)
-    trained_loop = trainer.net.get_core()
-    open_loop = system.Series(OrderedDict({
-        "room": trained_loop.feedforward, "mixer": trained_loop.feedback}))
-    # open-loop matrix response at a subsample of bins (n_lds -> n_lds)
-    eye = jnp.broadcast_to(jnp.eye(n_lds, dtype=jnp.complex64),
-                           (1, M, n_lds, n_lds))
-    G = open_loop(eye)
-    sub = G[0, ::32]  # (M/32, n_mics, n_mics)
-    evs = get_eigenvalues(sub)
-    max_ev = float(jnp.abs(evs).max())
-    gbi_db = -20 * np.log10(max_ev)
-    print(f"max |eigenvalue| = {max_ev:.4f} -> GBI = {gbi_db:.2f} dB")
-    assert np.isfinite(gbi_db)
+    plot_evs_distributions(evs_init, evs_opt, args.samplerate, nfft,
+                           os.path.join(args.train_dir, "evs_dist.png"))
+    plot_spectrograms(ir_init, ir_opt, args.samplerate,
+                      os.path.join(args.train_dir, "spectrograms.png"))
+    assert np.isfinite(float(mag2db(gbi_opt)))
+    assert jnp.isfinite(jnp.abs(evs_opt)).all()
 
 
 if __name__ == "__main__":
-    ap = example_parser(nfft=4096, max_epochs=2, num=8, batch_size=2,
+    ap = example_parser(nfft=4096, max_epochs=2, num=8, batch_size=1,
                         lr=1e-3)
-    ap.add_argument("--gbi_reg", type=float, default=0.0,
-                    help="weight of the differentiable GBI stability "
-                         "regularizer (0 = off)")
-    ap.add_argument("--gbi_margin", type=float, default=0.5,
-                    help="open-loop spectral radius above which the "
-                         "regularizer penalizes")
+    ap.add_argument("--mics", type=int, default=2,
+                    help="number of microphones (reference: 4)")
+    ap.add_argument("--loudspeakers", type=int, default=3,
+                    help="number of loudspeakers (reference: 13)")
+    ap.add_argument("--fir_order", type=int, default=16,
+                    help="virtual-room FIR order (reference: 100)")
+    ap.add_argument("--wgn_rt", type=float, default=0.1,
+                    help="virtual-room WGN reverb RT60 (reference: 1.0)")
+    ap.add_argument("--room_t60", type=float, default=0.1,
+                    help="synthetic physical-room RT60")
+    ap.add_argument("--alias_decay_db", type=float, default=0.0,
+                    help="time-alias decay (reference example: -20)")
+    ap.add_argument("--start_gain_db", type=float, default=0.0,
+                    help="dB offset from the GBI at training start")
+    ap.add_argument("--rir_dir", type=str, default=None,
+                    help="directory of measured mic{i}_speaker{j}.wav RIRs")
+    ap.add_argument("--rir_length", type=int, default=None,
+                    help="truncate RIRs to this many samples "
+                         "(reference: 15000)")
     args = setup(ap.parse_args())
     main(args)

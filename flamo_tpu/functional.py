@@ -26,7 +26,8 @@ from flamo_tpu.core import complex_dtype_for
 from flamo_tpu.utils import RegularGridInterpolator, next_key, to_complex
 
 __all__ = [
-    "get_magnitude", "get_eigenvalues", "spectral_radius", "skew_matrix",
+    "get_magnitude", "get_eigenvalues", "eigvals", "spectral_radius",
+    "skew_matrix",
     "expm", "expm_skew",
     "get_frequency_samples", "hadamard_matrix_jnp", "HadamardMatrix",
     "RotationMatrix", "rotation_matrix", "biquad2tf", "signal_gallery",
@@ -66,6 +67,66 @@ def get_eigenvalues(x):
     out_dtype = complex_dtype_for(x.real.dtype)
     result_shape = jax.ShapeDtypeStruct(x.shape[:-1], out_dtype)
     return jax.pure_callback(_np_eigvals, result_shape, x, vmap_method="expand_dims")
+
+
+def _eig_pair_host(x):
+    a = np.asarray(x)
+    cd = complex_dtype_for(jnp.asarray(x).real.dtype)
+    w, v = np.linalg.eig(a)
+    vinv = np.linalg.inv(v)
+    return w.astype(cd), v.astype(cd), vinv.astype(cd)
+
+
+def _eig_pair(A):
+    A = jnp.asarray(A)
+    cd = complex_dtype_for(A.real.dtype)
+    rs = (jax.ShapeDtypeStruct(A.shape[:-1], cd),
+          jax.ShapeDtypeStruct(A.shape, cd),
+          jax.ShapeDtypeStruct(A.shape, cd))
+    return jax.pure_callback(_eig_pair_host, rs, A,
+                             vmap_method="expand_dims")
+
+
+@jax.custom_vjp
+def eigvals(A):
+    """Differentiable eigenvalues of ``(..., N, N)`` matrices.
+
+    Nonsymmetric eig has no XLA lowering on TPU and no JAX autodiff rule
+    anywhere, so the reference's trainable eigenvalue objectives
+    (``MSE_evs``, /root/reference/examples/e8_active_acoustics.py:564-621,
+    backed by torch.linalg.eigvals autograd) had no counterpart.  This
+    routes the decomposition through a host callback (LAPACK ``eig``) and
+    supplies the closed-form VJP: with ``A = V diag(w) V^-1`` and distinct
+    eigenvalues, ``dw_i = (V^-1 dA V)_ii``, hence ``A_bar =
+    V^-H diag(w_bar) V^H`` — two small batched matmuls on device.
+
+    Gradients are exact for simple (non-defective) spectra, which holds
+    almost surely for the random loop matrices this trains.  Use
+    :func:`get_eigenvalues` for cheap no-grad analysis.
+    """
+    return _eig_pair(A)[0]
+
+
+def _eigvals_fwd(A):
+    A = jnp.asarray(A)
+    w, v, vinv = _eig_pair(A)
+    return w, (v, vinv, jnp.zeros((0,), A.dtype))
+
+
+def _eigvals_bwd(res, w_bar):
+    v, vinv, dtype_sentinel = res
+    in_dtype = dtype_sentinel.dtype
+    # JAX cotangents carry the conjugation ("grad = conj Wirtinger"), so the
+    # pullback is the plain transpose (V diag(w_bar) V^-1)^T, not the
+    # conjugate transpose (verified against LAPACK finite differences and
+    # torch.linalg.eigvals autograd in tests/test_parity.py).
+    A_bar = jnp.swapaxes(v @ (w_bar[..., :, None] * vinv), -1, -2)
+    if not jnp.issubdtype(in_dtype, jnp.complexfloating):
+        A_bar = A_bar.real  # project onto the real tangent space
+    return (A_bar.astype(in_dtype),)
+
+
+eigvals.defvjp(_eigvals_fwd, _eigvals_bwd)
 
 
 def spectral_radius(A, iters: int = 64, tail: int = 8):

@@ -2,6 +2,6 @@ from flamo_tpu.models.colorless_fdn import (
     build_colorless_fdn, colorless_loss, colorless_train_step,
 )
 from flamo_tpu.models.active_acoustics import (
-    build_active_acoustics, gain_before_instability,
+    ActiveAcoustics, build_active_acoustics, gain_before_instability,
     gain_before_instability_diff, open_loop_eigenvalues, open_loop_matrix,
 )

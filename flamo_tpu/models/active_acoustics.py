@@ -10,6 +10,8 @@ reproducibility.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -86,6 +88,191 @@ def gain_before_instability(model: system.Shell, subsample: int = 32):
     evs = open_loop_eigenvalues(model, subsample)
     max_ev = jnp.max(jnp.abs(evs))
     return -20 * jnp.log10(max_ev)
+
+
+class ActiveAcoustics:
+    """Full DAFx-24 Active Acoustics system (reference
+    examples/e8_active_acoustics.py:26-332, class ``AA``).
+
+    Physical room (H_SM, H_SA, H_LM, H_LA filter matrices — measured or
+    synthetic WGN reverb), virtual room (trainable FIR matrix ``U``, fixed
+    WGN-reverb tail ``R``, general gain ``G``), and the feedback-loop shell
+    ``F_MM`` whose forward on diag-embedded unit impulses yields the loop
+    matrix per bin.  Eigenvalue workflow: :meth:`get_F_MM_eigenvalues`,
+    :meth:`get_current_GBI` (gain before instability, computed at G=1),
+    :meth:`set_G_to_GBI`, :meth:`normalize_U`, and
+    :meth:`system_simulation` (natural + electroacoustic path IR).
+
+    Modules are immutable pytrees, so this is a mutable orchestration
+    wrapper: setters replace the stored module and rebuild ``F_MM``.
+    Train ``aa.F_MM`` with the Trainer + :class:`flamo_tpu.optimize.mse_evs`
+    (the differentiable eigenvalue objective), then :meth:`adopt` the
+    trained shell.
+    """
+
+    def __init__(self, n_S: int, n_M: int, n_L: int, n_A: int,
+                 fs: int = 48000, nfft: int = 2 ** 11, FIR_order: int = 100,
+                 wgn_RT: float = 1.0, alias_decay_db: float = 0.0,
+                 room_irs: dict | None = None, rir_length: int | None = None,
+                 room_t60: float = 0.5, cache_room: bool = True,
+                 dtype=jnp.float32, key=None):
+        self.fs, self.nfft = fs, nfft
+        self.n_S, self.n_M, self.n_L, self.n_A = n_S, n_M, n_L, n_A
+        self.alias_decay_db = alias_decay_db
+        self.cache_room = cache_room
+        self.dtype = dtype
+        key = next_key(key)
+        ks = jax.random.split(key, 6)
+
+        # physical room: measured IRs by name, else synthetic WGN reverb
+        # (the reference binds to rirs/Otala-2024.05.10 WAVs, not shipped)
+        if room_irs is None:
+            room_irs = {}
+            for name, shape, k in (("H_SM", (n_M, n_S), ks[0]),
+                                   ("H_SA", (n_A, n_S), ks[1]),
+                                   ("H_LM", (n_M, n_L), ks[2]),
+                                   ("H_LA", (n_A, n_L), ks[3])):
+                ir = WGN_reverb(shape, t60=room_t60, samplerate=fs, key=k,
+                                dtype=dtype)
+                room_irs[name] = ir[:rir_length] if rir_length else ir
+
+        def frozen_filter(arr):
+            arr = jnp.asarray(arr, dtype=dtype)
+            f = dsp.Filter(size=arr.shape, nfft=nfft, requires_grad=False,
+                           alias_decay_db=alias_decay_db, dtype=dtype)
+            return f.assign_value(arr)
+
+        self.H_SM = frozen_filter(room_irs["H_SM"])
+        self.H_SA = frozen_filter(room_irs["H_SA"])
+        self.H_LM = frozen_filter(room_irs["H_LM"])
+        self.H_LA = frozen_filter(room_irs["H_LA"])
+
+        # virtual room: trainable FIR matrix U, WGN reverb tail R, gain G
+        self.G = dsp.parallelGain(
+            size=(n_L,), nfft=nfft, alias_decay_db=alias_decay_db,
+            dtype=dtype).assign_value(jnp.ones(n_L, dtype=dtype))
+        self.U = dsp.Filter(size=(FIR_order, n_L, n_M), nfft=nfft,
+                            requires_grad=True,
+                            alias_decay_db=alias_decay_db, dtype=dtype,
+                            key=ks[4])
+        wgn = WGN_reverb((n_L,), t60=wgn_RT, samplerate=fs, key=ks[5],
+                         dtype=dtype)
+        self.R = dsp.parallelFilter(
+            size=wgn.shape, nfft=nfft, alias_decay_db=alias_decay_db,
+            dtype=dtype).assign_value(wgn)
+
+        self._rebuild_F_MM()
+        self.set_G_to_GBI()
+
+    # ------------------------------------------------------------------
+    def _room(self, module):
+        return dsp.CachedResponse(module) if self.cache_room else module
+
+    def _rebuild_F_MM(self):
+        import warnings
+
+        core = system.Series(OrderedDict(
+            [("U", self.U), ("R", self.R), ("G", self.G),
+             ("H_LM", self._room(self.H_LM))]))
+        eye = jnp.eye(self.n_M, dtype=self.dtype)
+        diag_embed = dsp.Transform(lambda x: x[..., None] * eye,
+                                   dtype=self.dtype)
+        with warnings.catch_warnings():
+            # the Transform+FFT input Series carries no alias_decay_db —
+            # suppress the spurious attribute-coherence warning
+            warnings.simplefilter("ignore")
+            self.F_MM = system.Shell(
+                core=core,
+                input_layer=system.Series(
+                    diag_embed, dsp.FFT(self.nfft, dtype=self.dtype)))
+
+    def __call__(self, x):
+        """One feedback-loop iteration: unit impulses (B, T, n_M) give the
+        microphone signals; diag-embedded impulses give the loop matrix
+        (reference e8_active_acoustics.py:143-159)."""
+        return self.F_MM(x)
+
+    forward = __call__
+
+    # -- general gain ---------------------------------------------------
+    def get_G(self):
+        return self.G
+
+    def set_G(self, g) -> None:
+        """Set the general gain (linear scale)."""
+        g = jnp.asarray(g, dtype=self.dtype)
+        self.G = self.G.assign_value(g * jnp.ones(self.n_L,
+                                                  dtype=self.dtype))
+        self._rebuild_F_MM()
+
+    def get_current_GBI(self):
+        """Gain Before Instability (linear scale), always with respect to
+        G=1 (reference e8_active_acoustics.py:183-215)."""
+        g_current = self.G.param[0]
+        self.set_G(1.0)
+        max_ev = jnp.max(jnp.abs(self.get_F_MM_eigenvalues()))
+        self.set_G(g_current)
+        return 1.0 / max_ev
+
+    def set_G_to_GBI(self) -> None:
+        self.set_G(self.get_current_GBI())
+
+    # -- virtual room ----------------------------------------------------
+    def normalize_U(self, value: float = 1.0) -> None:
+        """Normalize U's IRs to Frobenius norm ``value``
+        (reference e8_active_acoustics.py:240-252)."""
+        p = self.U.param
+        self.U = self.U.assign_value(
+            p / jnp.sqrt(jnp.sum(p ** 2)) * value)
+        self._rebuild_F_MM()
+
+    # -- feedback-loop matrix -------------------------------------------
+    def get_F_MM_eigenvalues(self):
+        """Eigenvalues of the loop matrix at every bin, (1, M, n_M)
+        (reference e8_active_acoustics.py:258-271).  No-grad analysis via
+        the host-callback eig; training uses
+        :class:`flamo_tpu.optimize.mse_evs` instead."""
+        H = self.F_MM.get_freq_response(fs=self.fs, identity=True)
+        return get_eigenvalues(H)
+
+    # -- full system -----------------------------------------------------
+    def _create_system(self):
+        processor = system.Series(OrderedDict(
+            [("U", self.U), ("R", self.R), ("G", self.G)]))
+        feedback_loop = system.Recursion(fF=processor,
+                                         fB=self._room(self.H_LM))
+        ea_path = system.Shell(
+            core=system.Series(OrderedDict(
+                [("H_SM", self._room(self.H_SM)),
+                 ("FeedbackLoop", feedback_loop),
+                 ("H_LA", self._room(self.H_LA))])),
+            input_layer=dsp.FFT(self.nfft, dtype=self.dtype),
+            output_layer=dsp.iFFT(self.nfft, dtype=self.dtype))
+        nat_path = system.Shell(
+            core=self._room(self.H_SA),
+            input_layer=dsp.FFT(self.nfft, dtype=self.dtype),
+            output_layer=dsp.iFFT(self.nfft, dtype=self.dtype))
+        return nat_path, ea_path
+
+    def system_simulation(self):
+        """Full-system impulse response: natural + electroacoustic paths,
+        (1, nfft, n_A) (reference e8_active_acoustics.py:316-332)."""
+        nat_path, ea_path = self._create_system()
+        return (nat_path.get_time_response(fs=self.fs)
+                + ea_path.get_time_response(fs=self.fs))
+
+    # -- training interop -------------------------------------------------
+    def adopt(self, trained_shell: system.Shell) -> None:
+        """Pull trained modules back from a Trainer-owned ``F_MM`` shell
+        (modules are immutable pytrees, so training produces a new one)."""
+        core = trained_shell.get_core()
+        self.U = core["U"]
+        self.R = core["R"]
+        self.G = core["G"]
+        hlm = core["H_LM"]
+        if isinstance(hlm, dsp.Filter):
+            self.H_LM = hlm
+        self._rebuild_F_MM()
 
 
 def gain_before_instability_diff(model: system.Shell, subsample: int = 32,

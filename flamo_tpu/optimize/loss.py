@@ -187,6 +187,44 @@ class masked_mse_loss:
         return jnp.mean((y_pred[:, mask] - y_true[:, mask]) ** 2)
 
 
+class mse_evs:
+    """Eigenvalue-magnitude MSE over cycling bin partitions — the DAFx-24
+    Active Acoustics training objective (reference
+    examples/e8_active_acoustics.py:564-621, ``MSE_evs``).
+
+    ``y_pred`` is the feedback-loop matrix spectrum ``(B, M, N, N)`` (the
+    ``ActiveAcoustics.F_MM`` shell output on diag-embedded impulses);
+    ``y_true`` holds target eigenvalue magnitudes ``(B, M, N)``.  Each step
+    evaluates one partition of ``ceil(freq_points/iter_num)`` bins so every
+    bin is seen once per cycle, exactly like the reference; the
+    eigendecomposition is differentiated through
+    :func:`flamo_tpu.functional.eigvals` (host-callback eig with a
+    closed-form VJP — torch.linalg.eigvals autograd has no XLA/TPU
+    counterpart)."""
+
+    name = "MSE_evs"
+    stateful = True
+
+    def __init__(self, iter_num: int, freq_points: int, **kwargs):
+        from flamo_tpu.functional import eigvals
+
+        self._eigvals = eigvals
+        self.iter_num = int(iter_num)
+        self.freq_points = int(freq_points)
+        n_samples = int(math.ceil(freq_points / iter_num))
+        self.mask_indices = generate_partitions(
+            jnp.arange(self.freq_points), n_samples, 1)
+        self.n_masks = self.mask_indices.shape[0]
+
+    def __call__(self, y_pred, y_true, step=None, state=None):
+        masks = self.mask_indices if state is None else state
+        i = 0 if step is None else step % masks.shape[0]
+        idx = masks[i]
+        evs_pred = jnp.abs(self._eigvals(y_pred[:, idx]))
+        evs_true = y_true[:, idx]
+        return jnp.mean((evs_pred - evs_true) ** 2)
+
+
 # ----------------------------------------------------------------------
 # multi-scale spectral losses
 # ----------------------------------------------------------------------

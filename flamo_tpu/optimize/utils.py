@@ -22,8 +22,8 @@ def generate_partitions(tensor, n_samples: int, n_sets: int,
     n_partitions = length // n_samples
     if length % n_samples != 0:
         print(
-            "Warning: Tensor length is divisible by n_samples so there will "
-            "be some samples left out."
+            "Warning: Tensor length is not divisible by n_samples so there "
+            "will be some samples left out."
         )
     key = next_key(key)
     sets = []

@@ -139,3 +139,29 @@ def test_masked_mse_state_passing():
     assert v0 == pytest.approx(1.0)
     loss.pre_step()
     assert loss._calls == 1
+
+
+def test_mse_evs_matches_manual_eig():
+    """mse_evs == mean((|eig| - target)^2) over the selected partition, and
+    its gradient is finite and nonzero (differentiable-eig path)."""
+    import jax
+    import jax.numpy as jnp
+    from flamo_tpu.optimize.loss import mse_evs
+
+    M, N = 65, 3
+    rng = np.random.default_rng(3)
+    y = (rng.standard_normal((1, M, N, N))
+         + 1j * rng.standard_normal((1, M, N, N))).astype(np.complex64)
+    t = np.ones((1, M, N), dtype=np.float32)
+    crit = mse_evs(iter_num=4, freq_points=M)
+    idx = np.asarray(crit.mask_indices[1])
+    got = float(crit(jnp.asarray(y), jnp.asarray(t), step=1,
+                     state=crit.mask_indices))
+    evs = np.abs(np.linalg.eigvals(y[:, idx]))
+    want = float(np.mean((np.sort(evs, -1) - 1.0) ** 2))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+    g = jax.grad(lambda yy: crit(yy, jnp.asarray(t), step=1,
+                                 state=crit.mask_indices))(jnp.asarray(y))
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0

@@ -91,3 +91,67 @@ def test_colorless_cache_delays_equivalent():
     y0 = np.asarray(jax.jit(lambda m, x: m(x))(m0, x))
     y1 = np.asarray(jax.jit(lambda m, x: m(x))(m1, x))
     assert np.abs(y0 - y1).max() < 1e-5
+
+
+def test_active_acoustics_class_workflow():
+    """Full AA workflow (reference e8_active_acoustics.py:26-332):
+    GBI at G=1, set_G_to_GBI drives max |eig| to 1, normalize_U,
+    system_simulation, adopt round-trip."""
+    import jax.numpy as jnp
+    from flamo_tpu.models import ActiveAcoustics
+
+    aa = ActiveAcoustics(n_S=1, n_M=2, n_L=3, n_A=1, nfft=512,
+                         FIR_order=8, wgn_RT=0.05, room_t60=0.05)
+    # constructor ends with set_G_to_GBI -> loop at the stability edge
+    evs = aa.get_F_MM_eigenvalues()
+    assert evs.shape == (1, 257, 2)
+    np.testing.assert_allclose(float(jnp.abs(evs).max()), 1.0, rtol=1e-4)
+
+    # GBI is defined at G=1 and restores the current gain afterwards
+    g_before = np.asarray(aa.G.param).copy()
+    gbi = float(aa.get_current_GBI())
+    np.testing.assert_allclose(np.asarray(aa.G.param), g_before)
+    aa.set_G(1.0)
+    max_ev = float(jnp.abs(aa.get_F_MM_eigenvalues()).max())
+    np.testing.assert_allclose(gbi, 1.0 / max_ev, rtol=1e-5)
+
+    aa.normalize_U(2.0)
+    np.testing.assert_allclose(
+        float(jnp.sqrt(jnp.sum(aa.U.param ** 2))), 2.0, rtol=1e-5)
+
+    y = aa.system_simulation()
+    assert y.shape == (1, 512, 1)
+    assert np.isfinite(np.asarray(y)).all()
+    assert float(jnp.abs(y).max()) > 0
+
+    # adopt: pull modules back from a (re-built) trained shell
+    shell = aa.F_MM
+    aa2 = ActiveAcoustics(n_S=1, n_M=2, n_L=3, n_A=1, nfft=512,
+                          FIR_order=8, wgn_RT=0.05, room_t60=0.05)
+    aa2.adopt(shell)
+    np.testing.assert_allclose(np.asarray(aa2.U.param),
+                               np.asarray(aa.U.param))
+
+
+def test_active_acoustics_trains_mse_evs():
+    """Training the F_MM shell with the differentiable eigenvalue loss
+    reduces it (the reference's MSE_evs objective)."""
+    import jax.numpy as jnp
+    from flamo_tpu.models import ActiveAcoustics
+    from flamo_tpu.optimize import DatasetColorless, Trainer, load_dataset
+    from flamo_tpu.optimize.loss import mse_evs
+
+    nfft = 512
+    M = nfft // 2 + 1
+    aa = ActiveAcoustics(n_S=1, n_M=2, n_L=2, n_A=1, nfft=nfft,
+                         FIR_order=8, wgn_RT=0.05, room_t60=0.05)
+    ds = DatasetColorless(input_shape=(1, M, 2), target_shape=(1, M, 2),
+                          expand=8)
+    tl, vl = load_dataset(ds, batch_size=1, split=0.75, shuffle=False)
+    tr = Trainer(aa.F_MM, max_epochs=3, lr=1e-2, log=False)
+    tr.register_criterion(mse_evs(iter_num=len(tl), freq_points=M), 1)
+    tr.train(tl, vl)
+    assert np.isfinite(tr.train_loss).all()
+    assert tr.train_loss[-1] < tr.train_loss[0]
+    aa.adopt(tr.net)
+    assert np.isfinite(float(aa.get_current_GBI()))

@@ -560,3 +560,122 @@ def test_parity_peq_module(ref):
         pt.assign_value(torch.tensor(raw))
         Ht = pt.freq_response(pt.param).detach().numpy()
         _close(Hj, Ht, atol=2e-3, rtol=2e-2)
+
+
+def test_parity_eigvals_gradient(ref):
+    """Gradient of an eigenvalue-magnitude loss through
+    flamo_tpu.functional.eigvals matches torch.linalg.eigvals autograd
+    (VERDICT round-1 missing #1).  torch stores the conjugate-Wirtinger
+    gradient for complex leaves while JAX stores the plain one, hence the
+    conj in the comparison."""
+    import jax
+    import jax.numpy as jnp
+    from flamo_tpu.functional import eigvals
+
+    rng = np.random.default_rng(7)
+    A = (rng.standard_normal((4, 6, 6))
+         + 1j * rng.standard_normal((4, 6, 6))).astype(np.complex64)
+
+    def loss_j(a):
+        return jnp.mean((jnp.abs(eigvals(a)) - 1.0) ** 2)
+
+    gj = np.asarray(jax.jit(jax.grad(loss_j))(jnp.asarray(A)))
+
+    At = torch.tensor(A, requires_grad=True)
+    lt = torch.mean((torch.abs(torch.linalg.eigvals(At)) - 1.0) ** 2)
+    lt.backward()
+    gt = At.grad.numpy()
+    np.testing.assert_allclose(np.conj(gj), gt, atol=1e-5, rtol=1e-3)
+    np.testing.assert_allclose(float(loss_j(jnp.asarray(A))), float(lt),
+                               rtol=1e-5)
+
+
+def test_parity_evs_training_trajectory(ref):
+    """Lockstep MSE_evs training (the DAFx-24 Active Acoustics objective,
+    reference e8_active_acoustics.py:564-621): trainable FIR matrix in
+    series with a frozen room FIR, loop-matrix spectrum on diag-embedded
+    impulses, eigenvalue-magnitude MSE over a FIXED bin partition, 10 Adam
+    steps from identical raw init — per-step losses must track torch."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from collections import OrderedDict as OD
+    from flamo_tpu.core import trainable_mask
+    from flamo_tpu.processor import dsp, system
+    from flamo_tpu.optimize.loss import mse_evs
+
+    nfft, N, taps, room_len = 512, 3, 8, 32
+    M = nfft // 2 + 1
+    rng = np.random.default_rng(31)
+    u0 = (0.05 * rng.standard_normal((taps, N, N))).astype(np.float32)
+    h0 = (0.3 * rng.standard_normal((room_len, N, N))).astype(np.float32)
+    idx = np.sort(rng.choice(M, size=64, replace=False)).astype(np.int32)
+    x_time = np.zeros((1, nfft, N), dtype=np.float32)
+    x_time[:, 0, :] = 1.0
+    lr = 1e-2
+    n_steps = 10
+
+    # --- flamo_tpu ---
+    U = dsp.Filter(size=(taps, N, N), nfft=nfft, requires_grad=True)
+    U = U.assign_value(jnp.asarray(u0))
+    H = dsp.Filter(size=(room_len, N, N), nfft=nfft,
+                   requires_grad=False).assign_value(jnp.asarray(h0))
+    eye = jnp.eye(N, dtype=jnp.float32)
+    model = system.Shell(
+        core=system.Series(OD([("U", U), ("H", H)])),
+        input_layer=system.Series(
+            dsp.Transform(lambda x: x[..., None] * eye), dsp.FFT(nfft)))
+    crit = mse_evs(iter_num=4, freq_points=M)
+    crit.mask_indices = jnp.asarray(idx)[None, :]  # one fixed partition
+    xj = jnp.asarray(x_time)
+    tj = jnp.ones((1, M, N), dtype=jnp.float32)
+    tx = optax.adam(lr)
+    mask = trainable_mask(model)
+    opt_state = tx.init(model)
+
+    def loss_fn(m):
+        return crit(m(xj), tj, step=0, state=crit.mask_indices)
+
+    @jax.jit
+    def step(m, o):
+        loss, g = jax.value_and_grad(loss_fn)(m)
+        g = jax.tree_util.tree_map(
+            lambda gr, msk: gr if msk else jnp.zeros_like(gr), g, mask)
+        u, o = tx.update(g, o, m)
+        return optax.apply_updates(m, u), o, loss
+
+    losses_j = []
+    m, o = model, opt_state
+    for _ in range(n_steps):
+        m, o, l = step(m, o)
+        losses_j.append(float(l))
+
+    # --- reference ---
+    import torch.nn as nn
+
+    Ut = ref.dsp.Filter(size=(taps, N, N), nfft=nfft, requires_grad=True)
+    Ut.assign_value(torch.tensor(u0))
+    Ht = ref.dsp.Filter(size=(room_len, N, N), nfft=nfft,
+                        requires_grad=False)
+    Ht.assign_value(torch.tensor(h0))
+    core = nn.Sequential(OD([("U", Ut), ("H", Ht)]))
+    mt = ref.sys.Shell(
+        core=core,
+        input_layer=nn.Sequential(
+            ref.dsp.Transform(lambda x: x.diag_embed()),
+            ref.dsp.FFT(nfft)))
+    opt = torch.optim.Adam(
+        [p for p in mt.parameters() if p.requires_grad], lr=lr)
+    xt = torch.tensor(x_time)
+    idx_t = torch.tensor(idx, dtype=torch.long)
+    losses_t = []
+    for _ in range(n_steps):
+        opt.zero_grad()
+        y = mt(xt)
+        evs = torch.abs(torch.linalg.eigvals(y[:, idx_t]))
+        loss = torch.mean(torch.square(evs - 1.0))
+        loss.backward()
+        opt.step()
+        losses_t.append(float(loss))
+
+    np.testing.assert_allclose(losses_j, losses_t, rtol=2e-3, atol=1e-5)
