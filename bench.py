@@ -291,16 +291,68 @@ def get_baseline(refresh: bool = False):
     return sps
 
 
+def scan_bench_subprocess(solve_method: str, timeout: int):
+    """Run the scan bench in a subprocess with a hard timeout.
+
+    Mosaic custom calls HANG on the axon tunnel (CLAUDE.md), so the pallas
+    mode must not be allowed to wedge the whole bench: on timeout or crash
+    the caller falls back to the XLA kernel.  Returns (result|None, err)."""
+    import subprocess
+    import sys
+
+    cmd = [sys.executable, os.path.abspath(__file__), "--scan-only",
+           "--solve", solve_method]
+    try:
+        out = subprocess.run(cmd, capture_output=True, text=True,
+                             timeout=timeout)
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout}s (Mosaic hang?)"
+    if out.returncode == 0:
+        for line in reversed(out.stdout.strip().splitlines()):
+            try:
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                continue
+    return None, f"rc={out.returncode}: {out.stderr.strip()[-120:]}"
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true",
                     help="print the full metric table")
     ap.add_argument("--refresh-baseline", action="store_true")
     ap.add_argument("--steps", type=int, default=30)
+    ap.add_argument("--solve", type=str, default="ge_cached",
+                    choices=["ge_cached", "ge", "ge_nopivot", "ge_mat",
+                             "pallas", "lu"],
+                    help="solve kernel for the scan bench; 'pallas' uses "
+                         "the fused FDN Mosaic kernel (subprocess + "
+                         "timeout, falls back to ge_cached on hang)")
+    ap.add_argument("--timeout", type=int, default=900,
+                    help="subprocess timeout for --solve pallas")
+    ap.add_argument("--scan-only", action="store_true",
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
 
+    if args.scan_only:
+        sps, fl = measure_jax_scan_steps_per_sec(solve_method=args.solve)
+        print(json.dumps({"steps_per_sec": sps, "final_loss": fl}))
+        return
+
     baseline = get_baseline(refresh=args.refresh_baseline)
-    steps_per_sec, final_loss = measure_jax_scan_steps_per_sec()
+    fallback_note = None
+    steps_per_sec = final_loss = None
+    if args.solve == "pallas":
+        res, err = scan_bench_subprocess("pallas", args.timeout)
+        if res is not None:
+            steps_per_sec = res["steps_per_sec"]
+            final_loss = res["final_loss"]
+        else:
+            fallback_note = f"pallas failed ({err}); fell back to ge_cached"
+    if steps_per_sec is None:
+        solve = args.solve if args.solve != "pallas" else "ge_cached"
+        steps_per_sec, final_loss = measure_jax_scan_steps_per_sec(
+            solve_method=solve)
     # the colorless loss after 800 steps sits near 0.81 on the pivoted
     # kernel; a degenerate no-pivot solve would blow this up or NaN
     if not (final_loss == final_loss and 0.0 < final_loss < 10.0):
@@ -312,6 +364,10 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / baseline, 2),
     }
+    if args.solve != "ge_cached":
+        result["solve_method"] = args.solve
+    if fallback_note:
+        result["pallas_fallback"] = fallback_note
     if args.all:
         extra = {
             "torch_cpu_baseline_steps_per_sec": round(baseline, 3),

@@ -376,6 +376,22 @@ class Recursion(Module):
         # (same math as the reference's system.py:417-425, far fewer ops).
         rF = _matrix_response_of(self.feedforward, ext_ff)
         rB = _matrix_response_of(self.feedback, ext_fb)
+        if (self.solve_method == "pallas" and rF is not None
+                and rB is not None and rF[0] == linop.DIAG
+                and rB[0] == linop.FLAT and B.ndim == 3):
+            # FDN structure (diag feedforward x flat feedback): the fused
+            # Pallas kernel assembles I - diag(D) U in vector registers —
+            # the (M, N, N) loop matrix never touches HBM.  FLAT responses
+            # come from Gain-family modules with real parameters, so
+            # jnp.real is faithful (and keeps the cotangent flowing).
+            from flamo_tpu.ops.pallas_solve import pallas_fdn_solve
+
+            D = jnp.broadcast_to(rF[1].astype(cdtype), (M, N))
+            U = jnp.real(rB[1])
+            batch = B.shape[0]
+            Df = jnp.broadcast_to(D[None], (batch, M, N)).reshape(-1, N)
+            y = pallas_fdn_solve(Df, U, B.reshape(-1, N))
+            return y.reshape(B.shape)
         if rF is not None and rB is not None:
             kL, L = linop.compose(rF[0], rF[1], rB[0], rB[1])
             A = (jnp.eye(N, dtype=cdtype)
