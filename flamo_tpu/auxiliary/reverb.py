@@ -532,7 +532,10 @@ class parallelFDNPEQ(Filter):
         peq.design = self.design
         return dsp.PEQ.compute_biquad_coeff(peq, f, R, G, type)
 
-    def get_poly_coeff(self, param):
+    def _envelope_coeffs(self, param):
+        """Per-section biquad coefficients with the alias envelope folded
+        in: (b3, a3), each (3, rows, N) — shared by the rfft-grid response
+        and arbitrary-z probing."""
         if self.is_twostage:
             param_eq = self.map_eq(param[:-1])
             param_ls = self.map_eq(param[-1], is_twostage=True)
@@ -584,6 +587,10 @@ class parallelFDNPEQ(Filter):
                ** jnp.arange(3, dtype=self.dtype)).reshape(1, 3, 1)
         b3 = jnp.moveaxis(b * env, 1, 0)     # (3, rows, N)
         a3 = jnp.moveaxis(a * env, 1, 0)
+        return b3, a3
+
+    def get_poly_coeff(self, param):
+        b3, a3 = self._envelope_coeffs(param)
         B = poly_response(b3, self.nfft)
         A = poly_response(a3, self.nfft)
         return _iir_eps_guard(B, A), B, A
@@ -597,10 +604,16 @@ class parallelFDNPEQ(Filter):
         return jnp.einsum("fn,bfn...->bfn...", H, x)
 
     def probe(self, z):
-        H, B, A = self.get_poly_coeff(self.map(self.param))
-        raise NotImplementedError(
-            "probe() for parallelFDNPEQ: evaluate response() instead"
-        )
+        """diag of the per-line PEQ response at arbitrary z (the reference
+        probe protocol, dsp.py:343-352): product over sections of the
+        envelope-scaled biquad transfer functions."""
+        b3, a3 = self._envelope_coeffs(self.map(self.param))
+        k = jnp.arange(3, dtype=self.dtype)
+        zk = (jnp.asarray(z).astype(self.cdtype)
+              ** (-k)).reshape(3, 1, 1)
+        num = jnp.sum(b3.astype(self.cdtype) * zk, axis=0)  # (rows, N)
+        den = jnp.sum(a3.astype(self.cdtype) * zk, axis=0)
+        return jnp.diag(jnp.prod(num / den, axis=0))
 
 
 class parallelFirstOrderShelving(dsp.parallelFilter):

@@ -245,3 +245,26 @@ def test_fdn_attenuation_matrix_response_kinds():
         kind, H = m.matrix_response()
         assert kind == "diag", type(m).__name__
         assert H.shape == (257, 2), type(m).__name__
+
+
+@pytest.mark.parametrize("design,twostage,proportional", [
+    ("biquad", False, False),
+    ("biquad", True, True),
+    ("svf", False, False),
+    ("svf", True, False),
+])
+def test_fdn_peq_probe_matches_response(design, twostage, proportional):
+    """parallelFDNPEQ.probe(z_m) on the rfft grid == response()[m]
+    (e10 probe-consistency identity; was a NotImplementedError stub)."""
+    import jax.numpy as jnp
+    from flamo_tpu.auxiliary.reverb import parallelFDNPEQ
+
+    nfft = 512
+    peq = parallelFDNPEQ(n_bands=4, delays=(89, 97, 107), design=design,
+                         is_twostage=twostage, is_proportional=proportional,
+                         nfft=nfft, fs=48000, alias_decay_db=10.0)
+    H = np.asarray(peq.response())  # (M, N)
+    for m in [0, 17, 128, nfft // 2]:
+        z = np.exp(1j * 2 * np.pi * m / nfft)
+        Hp = np.asarray(peq.probe(jnp.asarray(z)))
+        np.testing.assert_allclose(np.diag(Hp), H[m], rtol=5e-3, atol=5e-4)
