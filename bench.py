@@ -55,7 +55,8 @@ def measure_jax_steps_per_sec(n_steps: int = 30):
 
 
 def measure_jax_scan_steps_per_sec(k: int = 400, n_calls: int = 2,
-                                   solve_method: str = "ge_cached"):
+                                   solve_method: str = "ge_cached",
+                                   cache_delays: bool = False):
     """Production TPU training path: K optimizer steps per dispatch via
     lax.scan (exact for the reference's Dataset.expand semantics, which
     repeat one (input, target) pair).
@@ -73,7 +74,8 @@ def measure_jax_scan_steps_per_sec(k: int = 400, n_calls: int = 2,
     flamo_tpu.set_seed(130709)
     with host_eager():
         model = build_colorless_fdn(nfft=NFFT, delays=DELAYS,
-                                    solve_method=solve_method)
+                                    solve_method=solve_method,
+                                    cache_delays=cache_delays)
         step, opt_state = colorless_train_step(model, lr=1e-3)
         M = NFFT // 2 + 1
         inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
@@ -230,6 +232,53 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3):
     return n_calls * k / (time.perf_counter() - t0)
 
 
+def measure_n64_solve_ms(n_calls: int = 20):
+    """N=64 closed-loop solve fwd+bwd (VERDICT r1 next #9): times the
+    fori_loop Gaussian elimination (gauss_solve_loop) against batched LU
+    so the N>32 path's TPU viability is measured whenever the backend
+    admits fori_loop programs (axon historically raises UNIMPLEMENTED —
+    closed_loop_solve routes it to LU; this measures both directly).
+    Returns {'n64_ge_loop_ms': .., 'n64_lu_ms': ..} with error strings
+    where a path is blocked."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flamo_tpu.ops.solve import gauss_solve_loop
+
+    M, N = 3001, 64
+    rng = np.random.default_rng(0)
+    phase = rng.uniform(0, 2 * np.pi, (M, N))
+    D = jnp.asarray((0.9 * np.exp(1j * phase)).astype(np.complex64))
+    W = rng.normal(size=(N, N)).astype(np.float32)
+    W = np.linalg.qr(W)[0]
+    A = (jnp.eye(N, dtype=jnp.complex64)[None]
+         - D[:, :, None] * jnp.asarray(W)[None].astype(jnp.complex64))
+    B = jnp.asarray((rng.normal(size=(M, N))
+                     + 1j * rng.normal(size=(M, N))).astype(np.complex64))
+
+    def loss_ge(A, B):
+        return jnp.sum(jnp.abs(gauss_solve_loop(A, B)) ** 2)
+
+    def loss_lu(A, B):
+        return jnp.sum(jnp.abs(
+            jnp.linalg.solve(A, B[..., None])[..., 0]) ** 2)
+
+    out = {}
+    for name, fn in (("n64_ge_loop_ms", loss_ge), ("n64_lu_ms", loss_lu)):
+        try:
+            vg = jax.jit(jax.value_and_grad(fn, argnums=(0, 1)))
+            r = vg(A, B)
+            jax.block_until_ready(r)
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                r = vg(A, B)
+            jax.block_until_ready(r)
+            out[name] = round((time.perf_counter() - t0) / n_calls * 1e3, 3)
+        except Exception as e:  # pragma: no cover - backend-dependent
+            out[name] = f"error: {str(e)[:80]}"
+    return out
+
+
 def measure_torch_baseline(n_steps: int = 10):
     """Same mathematical train step in PyTorch on CPU (the reference's
     execution model: eager torch, float32) — independent implementation of
@@ -330,12 +379,16 @@ def main():
                          "timeout, falls back to ge_cached on hang)")
     ap.add_argument("--timeout", type=int, default=900,
                     help="subprocess timeout for --solve pallas")
+    ap.add_argument("--cache-delays", action="store_true",
+                    help="freeze-cache the delay-line responses (re/im "
+                         "leaves) instead of recomputing them per step")
     ap.add_argument("--scan-only", action="store_true",
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
 
     if args.scan_only:
-        sps, fl = measure_jax_scan_steps_per_sec(solve_method=args.solve)
+        sps, fl = measure_jax_scan_steps_per_sec(
+            solve_method=args.solve, cache_delays=args.cache_delays)
         print(json.dumps({"steps_per_sec": sps, "final_loss": fl}))
         return
 
@@ -352,7 +405,7 @@ def main():
     if steps_per_sec is None:
         solve = args.solve if args.solve != "pallas" else "ge_cached"
         steps_per_sec, final_loss = measure_jax_scan_steps_per_sec(
-            solve_method=solve)
+            solve_method=solve, cache_delays=args.cache_delays)
     # the colorless loss after 800 steps sits near 0.81 on the pivoted
     # kernel; a degenerate no-pivot solve would blow this up or NaN
     if not (final_loss == final_loss and 0.0 < final_loss < 10.0):
@@ -385,6 +438,10 @@ def main():
                 extra[name] = round(float(fn()), 3)
             except Exception as e:  # pragma: no cover - backend flakiness
                 extra[name] = f"error: {str(e)[:60]}"
+        try:
+            extra.update(measure_n64_solve_ms())
+        except Exception as e:  # pragma: no cover - backend flakiness
+            extra["n64_solve"] = f"error: {str(e)[:60]}"
         print(json.dumps({**result, **extra}))
     else:
         print(json.dumps(result))

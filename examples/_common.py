@@ -36,6 +36,86 @@ def example_parser(**overrides):
     return ap
 
 
+def plot_signal(y, path, title="Output signal", xlim=None, labels=None):
+    """Time-domain plot (one subplot per channel), saved as PNG — the
+    reference examples' plt.plot/plt.show pattern, headless."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    y = np.asarray(y)
+    if y.ndim == 3:
+        y = y[0]
+    if y.ndim == 1:
+        y = y[:, None]
+    n_ch = y.shape[-1]
+    fig, axes = plt.subplots(n_ch, 1, figsize=(7, 2.2 * n_ch), sharex=True,
+                             squeeze=False)
+    for i in range(n_ch):
+        ax = axes[i, 0]
+        ax.plot(y[:, i])
+        ax.grid(True)
+        ax.set_ylabel("Amplitude")
+        if xlim:
+            ax.set_xlim(*xlim)
+        ax.set_title(labels[i] if labels else f"{title} — channel {i + 1}")
+    axes[-1, 0].set_xlabel("Samples")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def plot_magnitude(curves, path, fs, nfft, title="Magnitude response",
+                   db=True):
+    """Overlaid magnitude-response plot.  curves: {label: (M,) complex or
+    magnitude array}."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    fig, ax = plt.subplots(figsize=(7, 4))
+    f = np.linspace(0, fs / 2, nfft // 2 + 1)
+    for label, H in curves.items():
+        mag = np.abs(np.asarray(H)).squeeze()
+        if db:
+            mag = 20 * np.log10(np.maximum(mag, 1e-12))
+        ax.plot(f[:len(mag)], mag, label=label)
+    ax.set_xscale("log")
+    ax.set_xlim(20, fs / 2)
+    ax.set_xlabel("Frequency (Hz)")
+    ax.set_ylabel("Magnitude (dB)" if db else "Magnitude")
+    ax.set_title(title)
+    ax.grid(True, which="both", alpha=0.4)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def plot_losses(loss_lists, path, title="Training loss"):
+    """Per-epoch loss curves.  loss_lists: {label: [values]}."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(6, 3.5))
+    for label, values in loss_lists.items():
+        ax.plot(values, marker="o", label=label)
+    ax.set_xlabel("Epoch")
+    ax.set_ylabel("Loss")
+    ax.set_title(title)
+    ax.grid(True, alpha=0.4)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
 def setup(args):
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")

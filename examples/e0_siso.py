@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from _common import example_parser, setup
+from _common import example_parser, plot_losses, plot_signal, setup
 
 
 def main(args):
@@ -55,10 +55,31 @@ def main(args):
     trainer.register_criterion(
         type("TimeMSE", (), {"name": "TimeMSE", "__call__":
              lambda self, yp, yt: jnp.mean((yp - yt) ** 2)})(), 1)
+    ir_init = trainer.net(signal_gallery(1, nfft, 1, "impulse"))
     trainer.train(train_loader, valid_loader)
+    ir_opt = trainer.net(signal_gallery(1, nfft, 1, "impulse"))
     assert len(trainer.train_loss) < 2 or \
         trainer.train_loss[-1] < trainer.train_loss[0] or \
         trainer.train_loss[0] < 1e-6
+
+    # plots: trained IR vs target (reference e0_siso.py plots), losses
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(7, 3.5))
+    ax.plot(np.asarray(ir_init)[0, :200, 0], label="Initial")
+    ax.plot(np.asarray(ir_opt)[0, :200, 0], label="Optimized")
+    ax.plot(np.asarray(target_ir)[0, :200, 0], "--", label="Target")
+    ax.grid(True)
+    ax.legend()
+    ax.set_xlabel("Samples")
+    ax.set_title("FIR trained to an exponential-decay IR")
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.train_dir, "e0_fir_ir.png"))
+    plt.close(fig)
+    plot_losses({"train": trainer.train_loss, "valid": trainer.valid_loss},
+                os.path.join(args.train_dir, "e0_losses.png"))
     print("e0 done; final loss", trainer.train_loss[-1])
 
 

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from _common import example_parser, setup
+from _common import example_parser, plot_magnitude, plot_signal, setup
 
 
 def main(args):
@@ -31,6 +31,8 @@ def main(args):
     x = signal_gallery(1, nfft, 3, "impulse")
     y = dsp.iFFT(nfft)(d(dsp.FFT(nfft)(x)))
     print("MIMO delay output:", y.shape)
+    plot_signal(y, os.path.join(args.train_dir, "e1_mimo_delay_ir.png"),
+                title="MIMO delay IR", xlim=(0, 600))
 
     # 3) train a 2-section Biquad bank to a lowpass target magnitude
     bq = dsp.Biquad(size=(1, 1), n_sections=2, filter_type="lowpass",
@@ -49,7 +51,13 @@ def main(args):
     trainer.register_criterion(
         type("MagMSE", (), {"name": "MagMSE", "__call__":
              lambda self, yp, yt: jnp.mean((yp - yt) ** 2)})(), 1)
+    H_init = jnp.abs(bq.response())[:, 0, 0]
     trainer.train(tl, vl)
+    H_opt = jnp.abs(trainer.net.get_core().response())[:, 0, 0]
+    plot_magnitude(
+        {"target": target[0, :, 0], "init": H_init, "optimized": H_opt},
+        os.path.join(args.train_dir, "e1_biquad_mag.png"),
+        args.samplerate, nfft, title="Biquad bank trained to lowpass")
     print("e1 done; final loss", trainer.train_loss[-1])
 
 

@@ -8,12 +8,14 @@ from collections import OrderedDict
 
 import jax.numpy as jnp
 
-from _common import example_parser, setup
+import numpy as np
+
+from _common import example_parser, plot_magnitude, plot_signal, setup
 
 
 def main(args):
+    from flamo_tpu.functional import get_eigenvalues
     from flamo_tpu.processor import dsp, system
-    from flamo_tpu.functional import signal_gallery
 
     nfft = args.nfft
     N = 3
@@ -32,6 +34,25 @@ def main(args):
     energy = float(jnp.sum(ir ** 2))
     print("loop IR energy:", energy)
     assert jnp.isfinite(energy)
+    plot_signal(np.asarray(ir)[0, :, :, 0],
+                os.path.join(args.train_dir, "e4_loop_irs.png"),
+                title="Closed-loop IR (input 1)", xlim=(0, 2000))
+
+    # closed-loop magnitude response + pole analysis via probe_recursion
+    H = model.get_freq_response(fs=args.samplerate, identity=True)
+    plot_magnitude(
+        {f"H[{i},{i}]": np.asarray(H)[0, :, i, i] for i in range(N)},
+        os.path.join(args.train_dir, "e4_loop_mag.png"),
+        args.samplerate, nfft, title="Closed-loop magnitude response")
+
+    # stability: eigenvalues of the open-loop matrix stay inside the unit
+    # circle (attenuation 0.6 x orthogonal feedback)
+    z = jnp.exp(1j * 2 * jnp.pi * jnp.arange(0, nfft // 2, 64) / nfft)
+    P = jnp.stack([loop.probe_recursion(zz) for zz in z])
+    evs = get_eigenvalues(jnp.eye(N) - P)  # open-loop eigenvalues
+    rho = float(jnp.abs(evs).max())
+    print(f"open-loop spectral radius over probed bins: {rho:.3f} (< 1)")
+    assert rho < 1.0
 
 
 if __name__ == "__main__":

@@ -12,6 +12,26 @@ import numpy as np
 from _common import example_parser, setup
 
 
+def plot_alias_compare(ir0, ir30, path):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(2, 1, figsize=(7, 5), sharex=True)
+    for ax, ir, ttl in ((axes[0], ir0, "alias_decay_db = 0"),
+                        (axes[1], ir30, "alias_decay_db = 30")):
+        ax.plot(20 * np.log10(np.abs(ir) + 1e-9))
+        ax.set_ylabel("dB")
+        ax.set_title(ttl)
+        ax.grid(True, alpha=0.4)
+    axes[-1].set_xlabel("Samples")
+    fig.suptitle("Time-aliasing mitigation (wrap-around energy)")
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
 def build(nfft, alias_db, key):
     import jax
     from flamo_tpu.processor import dsp, system
@@ -52,6 +72,9 @@ def main(args):
     # first sample must be 0 in both (no direct path)
     assert np.sum(ir30[head] ** 2) < np.sum(ir0[head] ** 2)
     print("aliasing reduced by the 30 dB decay envelope")
+    path = plot_alias_compare(ir0, ir30,
+                              os.path.join(args.train_dir, "e6_alias.png"))
+    print("comparison plot:", path)
 
 
 if __name__ == "__main__":

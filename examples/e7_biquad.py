@@ -6,7 +6,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 import jax.numpy as jnp
 
-from _common import example_parser, setup
+from _common import example_parser, plot_losses, plot_magnitude, setup
 
 
 def main(args):
@@ -36,7 +36,15 @@ def main(args):
     trainer.register_criterion(
         type("MagMSE", (), {"name": "MagMSE", "__call__":
              lambda self, yp, yt: jnp.mean((yp - yt) ** 2)})(), 1)
+    H_init = jnp.abs(filt.response())[:, 0, 0]
     trainer.train(tl, vl)
+    H_opt = jnp.abs(trainer.net.get_core().response())[:, 0, 0]
+    plot_magnitude(
+        {"target": target[0, :, 0], "init": H_init, "optimized": H_opt},
+        os.path.join(args.train_dir, "e7_biquad_mag.png"),
+        args.samplerate, nfft, title="Biquad matched to 2-section target")
+    plot_losses({"train": trainer.train_loss, "valid": trainer.valid_loss},
+                os.path.join(args.train_dir, "e7_biquad_losses.png"))
     print("e7_biquad final loss:", trainer.train_loss[-1])
     assert len(trainer.train_loss) < 2 or \
         trainer.train_loss[-1] < trainer.train_loss[0] * 1.05

@@ -8,7 +8,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from _common import example_parser, setup
+from _common import example_parser, plot_magnitude, setup
 
 
 def main(args):
@@ -36,7 +36,13 @@ def main(args):
     trainer.register_criterion(
         type("MagMSE", (), {"name": "MagMSE", "__call__":
              lambda self, yp, yt: jnp.mean((yp - yt) ** 2)})(), 1)
+    H_init = jnp.abs(filt.response())[:, 0, 0]
     trainer.train(tl, vl)
+    H_opt = jnp.abs(trainer.net.get_core().response())[:, 0, 0]
+    plot_magnitude(
+        {"target": target[0, :, 0], "init": H_init, "optimized": H_opt},
+        os.path.join(args.train_dir, "e7_geq_mag.png"),
+        args.samplerate, nfft, title="GEQ matched to target command gains")
     print("e7_geq final loss:", trainer.train_loss[-1])
 
     # AccurateGEQ: design-time fit, no training
@@ -46,6 +52,9 @@ def main(args):
     print("accurate GEQ magnitude range (dB):",
           float(20 * np.log10(mag.min())), "-",
           float(20 * np.log10(mag.max())))
+    plot_magnitude({"AccurateGEQ": mag},
+                   os.path.join(args.train_dir, "e7_accurate_geq_mag.png"),
+                   args.samplerate, nfft, title="AccurateGEQ design")
 
 
 if __name__ == "__main__":

@@ -6,7 +6,7 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 import jax.numpy as jnp
 
-from _common import example_parser, setup
+from _common import example_parser, plot_magnitude, setup
 
 
 def main(args):
@@ -35,7 +35,13 @@ def main(args):
     trainer.register_criterion(
         type("MagMSE", (), {"name": "MagMSE", "__call__":
              lambda self, yp, yt: jnp.mean((yp - yt) ** 2)})(), 1)
+    H_init = jnp.abs(filt.response())[:, 0, 0]
     trainer.train(tl, vl)
+    H_opt = jnp.abs(trainer.net.get_core().response())[:, 0, 0]
+    plot_magnitude(
+        {"target": target[0, :, 0], "init": H_init, "optimized": H_opt},
+        os.path.join(args.train_dir, "e7_svf_mag.png"),
+        args.samplerate, nfft, title="SVF matched to lowshelf target")
     print("e7_svf final loss:", trainer.train_loss[-1])
 
 

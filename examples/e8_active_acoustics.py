@@ -136,8 +136,8 @@ def main(args):
     save_model_params(aa, args.train_dir, "AA_parameters_init")
 
     # ---- train the eigenvalue objective (reference :709-739) ----
-    ds = DatasetColorless(input_shape=(args.batch_size, M, args.mics),
-                          target_shape=(args.batch_size, M, args.mics),
+    ds = DatasetColorless(input_shape=(1, M, args.mics),
+                          target_shape=(1, M, args.mics),
                           expand=args.num)
     train_loader, valid_loader = load_dataset(
         ds, batch_size=args.batch_size, split=args.split, shuffle=False)

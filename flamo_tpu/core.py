@@ -75,8 +75,9 @@ class Module:
 
     def __init_subclass__(cls, **kwargs):
         super().__init_subclass__(**kwargs)
-        jax.tree_util.register_pytree_node(
-            cls, cls._tree_flatten, cls._tree_unflatten
+        jax.tree_util.register_pytree_with_keys(
+            cls, cls._tree_flatten_with_keys, cls._tree_unflatten,
+            flatten_func=cls._tree_flatten
         )
 
     # -- pytree protocol -------------------------------------------------
@@ -90,6 +91,17 @@ class Module:
             )
         )
         return leaves, static_items
+
+    def _tree_flatten_with_keys(self):
+        """Keyed flatten: leaf key paths carry attribute names (e.g.
+        ``.core.modules[1].param``), which checkpointing uses to address
+        leaves by path rather than position."""
+        leaves, static_items = self._tree_flatten()
+        keyed = tuple(
+            (jax.tree_util.GetAttrKey(f), v)
+            for f, v in zip(type(self).leaf_fields, leaves)
+        )
+        return keyed, static_items
 
     @classmethod
     def _tree_unflatten(cls, aux, leaves):

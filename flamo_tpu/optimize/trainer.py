@@ -363,23 +363,96 @@ class Trainer:
         return False
 
 
+def _named_leaves(model):
+    """OrderedDict of keypath-string -> leaf, plus the treedef."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(model)
+    named = {jax.tree_util.keystr(kp): v for kp, v in flat}
+    assert len(named) == len(flat), "duplicate leaf key paths"
+    keys = [jax.tree_util.keystr(kp) for kp, _ in flat]
+    return named, keys, treedef
+
+
+def _fingerprint(named):
+    """Stable hash over (keypath, shape, dtype, bytes) of every leaf —
+    pins the model structure AND detects payload corruption, without
+    relying on treedef reprs (which may embed unstable object identities
+    like closures)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for k in sorted(named):
+        v = np.ascontiguousarray(np.asarray(named[k]))
+        h.update(f"{k}:{v.shape}:{v.dtype}|".encode())
+        h.update(v.tobytes())
+    return h.hexdigest()
+
+
+def _check_restorable(named_model, named_ckpt, ckpt_fp, where: str):
+    missing = sorted(set(named_model) - set(named_ckpt))
+    extra = sorted(set(named_ckpt) - set(named_model))
+    if missing or extra:
+        raise ValueError(
+            f"checkpoint {where} does not match the model structure: "
+            f"missing leaves {missing[:5]}{'...' if len(missing) > 5 else ''}, "
+            f"unexpected leaves {extra[:5]}{'...' if len(extra) > 5 else ''}"
+        )
+    for k, v in named_model.items():
+        cs, ms = tuple(np.shape(named_ckpt[k])), tuple(np.shape(v))
+        if cs != ms:
+            raise ValueError(
+                f"checkpoint {where}: leaf {k} has shape {cs}, model "
+                f"expects {ms}")
+    if ckpt_fp is not None and ckpt_fp != _fingerprint(
+            {k: np.asarray(v) for k, v in named_ckpt.items()}):
+        raise ValueError(f"checkpoint {where} is corrupt "
+                         "(fingerprint mismatch)")
+
+
 def save_model_state(model, path: str):
-    leaves = [np.asarray(x) if x is not None else None
-              for x in jax.tree_util.tree_leaves(model)]
+    """Checkpoint as NAMED leaves (keypath -> array) plus a structure
+    fingerprint, so restore assigns by path and fails loudly on any
+    mismatch instead of silently misassigning reordered leaves."""
+    named, _, _ = _named_leaves(model)
+    arrays = {k: np.asarray(v) for k, v in named.items()}
+    payload = {"format": 2, "fingerprint": _fingerprint(arrays),
+               "leaves": arrays}
     with open(path, "wb") as f:
-        pickle.dump(leaves, f)
+        pickle.dump(payload, f)
+
+
+def load_model_state(model, path: str):
+    """Restore a checkpoint into a structurally identical (freshly rebuilt)
+    model, matching leaves BY KEY PATH and validating shapes + the saved
+    structure fingerprint.  Legacy anonymous-list checkpoints restore
+    positionally.  The reference has no resume path at all (SURVEY.md §5);
+    this provides one."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    named, keys, treedef = _named_leaves(model)
+    if isinstance(payload, list):  # legacy round-1 format
+        leaves = [x for x in payload if x is not None]
+        if len(leaves) != len(keys):
+            raise ValueError(
+                f"legacy checkpoint has {len(leaves)} leaves, model has "
+                f"{len(keys)}")
+        return jax.tree_util.tree_unflatten(
+            treedef, [jnp.asarray(x) for x in leaves])
+    ckpt = payload["leaves"]
+    _check_restorable(named, ckpt, payload.get("fingerprint"), path)
+    return jax.tree_util.tree_unflatten(
+        treedef, [jnp.asarray(ckpt[k]) for k in keys])
 
 
 def save_checkpoint_orbax(model, directory: str, step: int = 0):
-    """Orbax checkpoint of the model's leaves (async-capable, sharded-array
-    aware — the option for multi-host runs).  The pickle path above remains
-    the default for single-host runs."""
+    """Orbax checkpoint of the model's NAMED leaves (async-capable,
+    sharded-array aware — the option for multi-host runs).  The pickle
+    path above remains the default for single-host runs."""
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    leaves = jax.tree_util.tree_leaves(model)
+    named, _, _ = _named_leaves(model)
     ckptr.save(os.path.join(os.path.abspath(directory), f"step_{step}"),
-               {"leaves": [l for l in leaves]})
+               {"leaves": dict(named)})
     ckptr.wait_until_finished()
 
 
@@ -387,25 +460,15 @@ def load_checkpoint_orbax(model, directory: str, step: int = 0):
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    leaves = jax.tree_util.tree_leaves(model)
+    named, keys, treedef = _named_leaves(model)
+    template = {k: np.asarray(v) for k, v in named.items()}
     restored = ckptr.restore(
         os.path.join(os.path.abspath(directory), f"step_{step}"),
-        {"leaves": [np.asarray(l) for l in leaves]})
-    treedef = jax.tree_util.tree_structure(model)
+        {"leaves": template})
+    ckpt = restored["leaves"]
+    _check_restorable(named, ckpt, None, directory)
     return jax.tree_util.tree_unflatten(
-        treedef, [jnp.asarray(x) for x in restored["leaves"]])
-
-
-def load_model_state(model, path: str):
-    """Restore checkpointed leaves into a structurally identical model.
-
-    The reference has no resume path at all (SURVEY.md §5); this provides
-    one."""
-    with open(path, "rb") as f:
-        leaves = pickle.load(f)
-    treedef = jax.tree_util.tree_structure(model)
-    return jax.tree_util.tree_unflatten(
-        treedef, [jnp.asarray(x) if x is not None else None for x in leaves])
+        treedef, [jnp.asarray(ckpt[k]) for k in keys])
 
 
 def get_str_results(epoch=None, train_loss=None, valid_loss=None, time=None):

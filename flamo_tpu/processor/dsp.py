@@ -1483,9 +1483,14 @@ class CachedResponse(Module):
     The wrapper preserves the module protocol: __call__, matrix_response,
     probe on the rfft grid is NOT available (use the original module for
     arbitrary-z probing).
+
+    The response is stored as SEPARATE re/im real leaves and recombined on
+    use (one fused add per step): complex pytree leaves carried through
+    lax.scan intermittently hit backend UNIMPLEMENTED on the tunneled TPU
+    (CLAUDE.md), and real leaves dodge that entirely.
     """
 
-    leaf_fields = ("H",)
+    leaf_fields = ("H_re", "H_im")
 
     def __init__(self, module, ext_param=None):
         assert not getattr(module, "trainable", False), (
@@ -1495,7 +1500,8 @@ class CachedResponse(Module):
         kind, H = module.matrix_response(ext_param) if ext_param is not None \
             else module.matrix_response()
         self.kind = kind
-        self.H = H
+        self.H_re = jnp.real(H)
+        self.H_im = jnp.imag(H)
         self.nfft = module.nfft
         self.M = module.nfft // 2 + 1
         self.alias_decay_db = module.alias_decay_db
@@ -1503,6 +1509,10 @@ class CachedResponse(Module):
         self.input_channels = module.input_channels
         self.output_channels = module.output_channels
         self.trainable = False
+
+    @property
+    def H(self):
+        return jax.lax.complex(self.H_re, self.H_im)
 
     def __call__(self, x, ext_param=None):
         from flamo_tpu.ops import linop

@@ -731,7 +731,8 @@ class Shell(Module):
                 output_layer=Series(
                     iFFT(self.nfft, dtype=self.dtype),
                     Transform(lambda x: x * (env if x.ndim == 3
-                                             else env[..., None])),
+                                             else env[..., None]),
+                              dtype=self.dtype),
                 ),
             )
         x = signal_gallery(batch_size=1, n_samples=self.nfft,

@@ -125,3 +125,78 @@ def test_dp_train_step_matches_single_device():
     # ragged batch is rejected eagerly
     with pytest.raises(ValueError, match="not divisible"):
         dp_step(m_dp, o_dp, inputs[:7], targets[:7])
+
+
+def test_2d_seed_bins_mesh_matches_unsharded():
+    """The dryrun's 2-D ('seed' x 'bins') mesh promoted into the suite
+    (VERDICT r1 next #10): a vmapped 2-member ensemble data-parallel over
+    'seed' with each member's spectrum sharded over 'bins' must produce
+    the SAME per-member losses and updated params as the unsharded vmap."""
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from flamo_tpu.core import trainable_mask
+    from flamo_tpu.models.colorless_fdn import _MSE, _SPARSITY
+
+    n_seed, n_bins = 2, 4
+    mesh = Mesh(np.array(jax.devices()[:n_seed * n_bins]).reshape(
+        n_seed, n_bins), axis_names=("seed", "bins"))
+
+    flamo_tpu.set_seed(3)
+    nfft = 512
+    M = nfft // 2 + 1
+    delays = (13, 17, 19, 23, 29, 31)
+    keys = jax.random.split(jax.random.PRNGKey(0), n_seed)
+    members = [build_colorless_fdn(nfft=nfft, delays=delays, key=k)
+               for k in keys]
+    model = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
+    mask = trainable_mask(members[0])
+    tx = optax.adam(1e-3)
+    opt_state = jax.vmap(tx.init)(model)
+    x = jnp.zeros((1, nfft, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, 1))
+
+    def member_loss(mdl, x, t, shard):
+        h = mdl.input_layer(x)
+        if shard:
+            h = jax.lax.with_sharding_constraint(
+                h, NamedSharding(mesh, P(None, "bins", None)))
+        est = mdl.output_layer(mdl.core(h))
+        return _MSE(est, t) + 0.2 * _SPARSITY(est, t, mdl)
+
+    def member_step(mdl, o, x, t, shard):
+        loss, g = jax.value_and_grad(member_loss)(mdl, x, t, shard)
+        g = jax.tree_util.tree_map(
+            lambda gr, m: gr if m else jnp.zeros_like(gr), g, mask)
+        u, o = tx.update(g, o, mdl)
+        return optax.apply_updates(mdl, u), o, loss
+
+    @jax.jit
+    def step_unsharded(model, o, x, t):
+        return jax.vmap(member_step,
+                        in_axes=(0, 0, None, None, None))(
+            model, o, x, t, False)
+
+    m_ref, o_ref, l_ref = step_unsharded(model, opt_state, x, t)
+
+    seed_sharded = NamedSharding(mesh, P("seed"))
+    put = lambda v: (jax.device_put(v, seed_sharded)
+                     if isinstance(v, jax.Array) and v.ndim >= 1 else v)
+    model_sh = jax.tree_util.tree_map(put, model)
+    opt_sh = jax.tree_util.tree_map(put, opt_state)
+    repl = NamedSharding(mesh, P())
+    x_sh, t_sh = jax.device_put(x, repl), jax.device_put(t, repl)
+
+    @jax.jit
+    def step_sharded(model, o, x, t):
+        return jax.vmap(member_step,
+                        in_axes=(0, 0, None, None, None))(
+            model, o, x, t, True)
+
+    m_sh, o_sh, l_sh = step_sharded(model_sh, opt_sh, x_sh, t_sh)
+
+    np.testing.assert_allclose(np.asarray(l_sh), np.asarray(l_ref),
+                               rtol=1e-5, atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(m_sh),
+                    jax.tree_util.tree_leaves(m_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -39,3 +39,17 @@ def test_x64_mode_subprocess():
                           capture_output=True, text=True, timeout=600)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "X64_OK" in proc.stdout
+
+
+def test_x64_parity_vs_reference_subprocess():
+    """f64 parity matrix vs the PyTorch reference with tight tolerances
+    (VERDICT r1 next #8): biquad prod-of-responses at nfft=96000, SVF tan
+    maps, FDN closed-loop IR, anti-alias envelopes."""
+    import os
+
+    script = os.path.join(os.path.dirname(__file__),
+                          "_x64_parity_script.py")
+    proc = subprocess.run([sys.executable, script],
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    assert "X64_PARITY_OK" in proc.stdout
