@@ -379,9 +379,13 @@ def main():
                          "timeout, falls back to ge_cached on hang)")
     ap.add_argument("--timeout", type=int, default=900,
                     help="subprocess timeout for --solve pallas")
-    ap.add_argument("--cache-delays", action="store_true",
+    ap.add_argument("--cache-delays", action=argparse.BooleanOptionalAction,
+                    default=True,
                     help="freeze-cache the delay-line responses (re/im "
-                         "leaves) instead of recomputing them per step")
+                         "leaves) instead of recomputing them per step "
+                         "(measured ~+5%% on the scan bench; falls back to "
+                         "the uncached build if the backend rejects the "
+                         "carried leaves)")
     ap.add_argument("--scan-only", action="store_true",
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
@@ -404,8 +408,17 @@ def main():
             fallback_note = f"pallas failed ({err}); fell back to ge_cached"
     if steps_per_sec is None:
         solve = args.solve if args.solve != "pallas" else "ge_cached"
-        steps_per_sec, final_loss = measure_jax_scan_steps_per_sec(
-            solve_method=solve, cache_delays=args.cache_delays)
+        try:
+            steps_per_sec, final_loss = measure_jax_scan_steps_per_sec(
+                solve_method=solve, cache_delays=args.cache_delays)
+        except Exception:
+            if not args.cache_delays:
+                raise
+            # carried cached-response leaves intermittently hit backend
+            # UNIMPLEMENTED on the tunnel (CLAUDE.md) — rebuild uncached
+            fallback_note = "cache_delays failed; fell back to uncached"
+            steps_per_sec, final_loss = measure_jax_scan_steps_per_sec(
+                solve_method=solve, cache_delays=False)
     # the colorless loss after 800 steps sits near 0.81 on the pivoted
     # kernel; a degenerate no-pivot solve would blow this up or NaN
     if not (final_loss == final_loss and 0.0 < final_loss < 10.0):
@@ -420,7 +433,7 @@ def main():
     if args.solve != "ge_cached":
         result["solve_method"] = args.solve
     if fallback_note:
-        result["pallas_fallback"] = fallback_note
+        result["fallback"] = fallback_note
     if args.all:
         extra = {
             "torch_cpu_baseline_steps_per_sec": round(baseline, 3),

@@ -116,6 +116,84 @@ def plot_losses(loss_lists, path, title="Training loss"):
     return path
 
 
+class PlainMSE:
+    """Elementwise MSE — the reference examples' nn.MSELoss()."""
+
+    name = "MSE"
+
+    def __call__(self, y_pred, y_true):
+        import jax.numpy as jnp
+
+        return jnp.mean((y_pred - y_true) ** 2)
+
+
+def plot_two_channel(curves_per_ch, path, title="Magnitude Response"):
+    """The reference filter examples' per-channel magnitude subplot grid.
+    curves_per_ch: list (one per channel) of {label: (array, linestyle)}."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    fig, axes = plt.subplots(len(curves_per_ch), 1, figsize=(8, 6),
+                             squeeze=False)
+    for ch, curves in enumerate(curves_per_ch):
+        ax = axes[ch, 0]
+        for label, (y, style) in curves.items():
+            ax.plot(np.abs(np.asarray(y)), style, label=label)
+        ax.set_title(title)
+        ax.set_xlabel("Frequency")
+        ax.set_ylabel("Magnitude")
+        ax.legend()
+    fig.tight_layout()
+    fig.savefig(path)
+    plt.close(fig)
+    return path
+
+
+def train_filter_to_target(args, filt, target_mag, in_ch, tag,
+                           assert_improves=True):
+    """Shared body of the e7 filter-matching examples (reference
+    e7_{biquad,svf,geq,peq}.py): wrap the module in a Shell with an
+    |.|-transform output, train elementwise MSE against the target
+    magnitude, and write the reference's magnitude_response artifact.
+    Returns the Trainer."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from flamo_tpu.processor import dsp, system
+    from flamo_tpu.optimize import Dataset, Trainer, load_dataset
+    from flamo_tpu.functional import signal_gallery
+
+    model = system.Shell(core=filt, input_layer=dsp.FFT(args.nfft),
+                         output_layer=dsp.Transform(jnp.abs))
+    estimation_init = model.get_freq_response()
+
+    x = signal_gallery(1, n_samples=args.nfft, n=in_ch,
+                       signal_type="impulse", fs=args.samplerate)
+    ds = Dataset(input=x, target=target_mag, expand=args.num)
+    tl, vl = load_dataset(ds, batch_size=args.batch_size, split=args.split)
+    trainer = Trainer(model, max_epochs=args.max_epochs, lr=args.lr,
+                      step_size=25, patience_delta=1e-5,
+                      train_dir=args.train_dir)
+    trainer.register_criterion(PlainMSE(), 1)
+    trainer.train(tl, vl)
+    estimation = trainer.net.get_freq_response()
+
+    plot_two_channel(
+        [{"Target": (target_mag[0, :, c], "-"),
+          "Estimation Init": (estimation_init[0, :, c], "-"),
+          "Estimation": (estimation[0, :, c], "--")}
+         for c in range(target_mag.shape[-1])],
+        os.path.join(args.train_dir, f"magnitude_response_{tag}.png"))
+    print(f"[{tag}] final loss:", trainer.train_loss[-1])
+    assert np.isfinite(trainer.train_loss[-1])
+    if assert_improves:
+        assert trainer.train_loss[-1] <= trainer.train_loss[0], (
+            f"{tag}: training did not reduce the loss")
+    return trainer
+
+
 def setup(args):
     if args.device == "cpu":
         jax.config.update("jax_platforms", "cpu")

@@ -1,51 +1,114 @@
-"""SVF matching (reference examples/e7_svf.py): train cascaded SVF sections
-to a target magnitude response."""
+"""SVF matching (reference examples/e7_svf.py): two scenarios.
+
+* ``svf`` — reference ``example_svf`` (e7_svf.py:16-124): train a MIMO
+  cascade of state-variable filters (free mixing coefficients,
+  ``filter_type=None``) to match a random SVF-cascade target magnitude.
+* ``parallel_svf`` — reference ``example_parallel_svf`` (:126-234): the
+  diagonal variant.
+
+Plus the original shelving demo (``lowshelf``): a typed SVF trained to a
+closed-form lowshelf target.
+"""
 
 import sys, os
 sys.path.insert(0, os.path.dirname(__file__))
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 
-from _common import example_parser, plot_magnitude, setup
+from _common import example_parser, setup, train_filter_to_target
 
 
-def main(args):
-    from flamo_tpu.processor import dsp, system
-    from flamo_tpu.optimize import Dataset, Trainer, load_dataset
-    from flamo_tpu.functional import svf, biquad2tf, signal_gallery
+def _random_svf_target(args, key, shape):
+    """Random SVF cascade response, prod over sections
+    (reference e7_svf.py:27-37): fc ~ U(0, fs/2), R ~ U(0, 1), free
+    mixing coefficients m ~ U(-1, 1)."""
+    from flamo_tpu.functional import svf
 
-    nfft = args.nfft
-    M = nfft // 2 + 1
+    k1, k2, k3 = jax.random.split(key, 3)
+    fc = args.samplerate / 2 * jax.random.uniform(k1, shape)
+    R = jax.random.uniform(k2, shape) + 0.2  # damped: keep |poles| < 1
+    m = jax.random.uniform(k3, shape + (3,), minval=-1.0, maxval=1.0)
+    b, a = svf(fc, R, m=m, filter_type=None, fs=args.samplerate)
+    B = np.fft.rfft(np.asarray(b), args.nfft, axis=0)
+    A = np.fft.rfft(np.asarray(a), args.nfft, axis=0)
+    return jnp.asarray(np.prod(B, axis=1) / np.prod(A, axis=1))
 
-    filt = dsp.SVF(size=(1, 1), n_sections=2, filter_type="lowshelf",
-                   nfft=nfft, fs=args.samplerate, requires_grad=True)
-    model = system.Shell(core=filt, input_layer=dsp.FFT(nfft),
-                         output_layer=dsp.Transform(lambda z: jnp.abs(z)))
+
+def _impulse_target(args, target_filter, in_ch, mimo):
+    from flamo_tpu.functional import signal_gallery
+
+    x = signal_gallery(1, n_samples=args.nfft, n=in_ch,
+                       signal_type="impulse", fs=args.samplerate)
+    X = jnp.fft.rfft(x, args.nfft, axis=1)
+    if mimo:
+        return jnp.abs(jnp.einsum("...ji,...i->...j", target_filter, X))
+    return jnp.abs(jnp.einsum("...i,...i->...i", target_filter, X))
+
+
+def example_svf(args):
+    from flamo_tpu.processor import dsp
+
+    in_ch, out_ch = 1, 2
+    n_sections = 4
+    target_filter = _random_svf_target(
+        args, jax.random.PRNGKey(args.seed), (n_sections, out_ch, in_ch))
+    target_mag = _impulse_target(args, target_filter, in_ch, mimo=True)
+
+    filt = dsp.SVF(size=(out_ch, in_ch), n_sections=n_sections,
+                   filter_type=None, nfft=args.nfft, fs=args.samplerate,
+                   requires_grad=True, alias_decay_db=0)
+    train_filter_to_target(args, filt, target_mag, in_ch, tag="svf")
+
+
+def example_parallel_svf(args):
+    from flamo_tpu.processor import dsp
+
+    ch = 2
+    n_sections = 4
+    target_filter = _random_svf_target(
+        args, jax.random.PRNGKey(args.seed + 1), (n_sections, ch))
+    target_mag = _impulse_target(args, target_filter, ch, mimo=False)
+
+    filt = dsp.parallelSVF(size=(ch,), n_sections=n_sections,
+                           filter_type=None, nfft=args.nfft,
+                           fs=args.samplerate, requires_grad=True,
+                           alias_decay_db=0)
+    train_filter_to_target(args, filt, target_mag, ch, tag="parallel_svf")
+
+
+def example_lowshelf(args):
+    """Typed SVF trained to a closed-form lowshelf target."""
+    from flamo_tpu.processor import dsp
+    from flamo_tpu.functional import svf, biquad2tf
 
     b, a = svf(jnp.asarray(800.0), jnp.asarray(1.0),
                G=jnp.asarray(10 ** (-6 / 20)), filter_type="lowshelf",
                fs=args.samplerate)
-    target = jnp.abs(biquad2tf(b, a, nfft))[None, :, None]
+    target_mag = jnp.abs(biquad2tf(b, a, args.nfft))[None, :, None]
 
-    ds = Dataset(input=signal_gallery(1, M, 1, "impulse"), target=target,
-                 expand=args.num)
-    tl, vl = load_dataset(ds, batch_size=args.batch_size, split=args.split)
-    trainer = Trainer(model, max_epochs=args.max_epochs, lr=args.lr,
-                      train_dir=args.train_dir)
-    trainer.register_criterion(
-        type("MagMSE", (), {"name": "MagMSE", "__call__":
-             lambda self, yp, yt: jnp.mean((yp - yt) ** 2)})(), 1)
-    H_init = jnp.abs(filt.response())[:, 0, 0]
-    trainer.train(tl, vl)
-    H_opt = jnp.abs(trainer.net.get_core().response())[:, 0, 0]
-    plot_magnitude(
-        {"target": target[0, :, 0], "init": H_init, "optimized": H_opt},
-        os.path.join(args.train_dir, "e7_svf_mag.png"),
-        args.samplerate, nfft, title="SVF matched to lowshelf target")
-    print("e7_svf final loss:", trainer.train_loss[-1])
+    filt = dsp.SVF(size=(1, 1), n_sections=2, filter_type="lowshelf",
+                   nfft=args.nfft, fs=args.samplerate, requires_grad=True)
+    train_filter_to_target(args, filt, target_mag, 1, tag="lowshelf")
+
+
+def main(args):
+    scenarios = {
+        "svf": example_svf,
+        "parallel_svf": example_parallel_svf,
+        "lowshelf": example_lowshelf,
+    }
+    names = list(scenarios) if args.scenario == "all" else [args.scenario]
+    for name in names:
+        print(f"--- e7_svf scenario: {name} ---")
+        scenarios[name](args)
 
 
 if __name__ == "__main__":
-    args = setup(example_parser(nfft=4096, max_epochs=5, lr=5e-2)
-                 .parse_args())
+    ap = example_parser(nfft=4096, max_epochs=5, lr=5e-2, num=16,
+                        batch_size=2)
+    ap.add_argument("--scenario", type=str, default="all",
+                    choices=["svf", "parallel_svf", "lowshelf", "all"])
+    args = setup(ap.parse_args())
     main(args)

@@ -119,8 +119,15 @@ class sparsity_loss:
             mixing_matrix = core.feedback_loop.feedback
             A = mixing_matrix.map(mixing_matrix.param)
         except (AttributeError, KeyError):
-            mixing_matrix = core.feedback_loop.feedback.mixing_matrix
-            A = mixing_matrix.map(mixing_matrix.param)
+            try:
+                mixing_matrix = core.feedback_loop.feedback.mixing_matrix
+                A = mixing_matrix.map(mixing_matrix.param)
+            except (AttributeError, KeyError):
+                # Parallel FDN-with-direct-path topology (reference
+                # loss.py:48): the loop lives in branch A
+                mixing_matrix = (
+                    core.branchA.feedback_loop.feedback.mixing_matrix)
+                A = mixing_matrix.map(mixing_matrix.param)
 
         if isinstance(mixing_matrix, HouseholderMatrix):
             u = A

@@ -139,7 +139,9 @@ def test_svf_types_match_biquad_forms():
 
 
 def test_sosfreqz_vs_scipy():
-    sos = np.random.randn(3, 6).astype(np.float64)
+    # seeded: unseeded draws occasionally land near-unstable sections where
+    # |H| blows up past the absolute tolerance
+    sos = np.random.default_rng(42).standard_normal((3, 6))
     sos[:, 3] = 1.0  # a0 = 1
     H = np.asarray(F.sosfreqz(jnp.asarray(sos), nfft=512))
     grid = np.fft.rfftfreq(512) * 2 * np.pi  # rfft grid includes pi
