@@ -19,8 +19,10 @@ def main(args):
     nfft = args.nfft
     M = nfft // 2 + 1
 
-    # 1) Matrix gallery
-    for mtype in ["random", "orthogonal", "hadamard", "rotation"]:
+    # 1) Matrix gallery (incl. "identity", which the reference example
+    # passes and the reference module silently treats as "random")
+    for mtype in ["random", "identity", "orthogonal", "hadamard",
+                  "rotation"]:
         m = dsp.Matrix(size=(4, 4), nfft=nfft, matrix_type=mtype)
         U = m.map(m.param)
         print(f"{mtype:>10}: ||U U^T - I|| =",

@@ -38,6 +38,14 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 1024
 
 
+def _interpret() -> bool:
+    """Run the kernels through the Pallas interpreter on the CPU backend
+    (CI, `--device cpu` examples); Mosaic-compile on TPU backends (incl.
+    the tunneled 'axon' platform, where Mosaic kernels run as of
+    2026-08-16)."""
+    return jax.default_backend() == "cpu"
+
+
 # ---------------------------------------------------------------------------
 # in-register complex arithmetic + GE core (shared by both kernels)
 # ---------------------------------------------------------------------------
@@ -132,6 +140,7 @@ def _pallas_solve_ml(ar, ai, br, bi):
         in_specs=[mat_spec, mat_spec, vec_spec, vec_spec],
         out_specs=[vec_spec, vec_spec],
         out_shape=out_shape,
+        interpret=_interpret(),
     )(ar, ai, br, bi)
     return yr, yi
 
@@ -247,6 +256,7 @@ def _pallas_fdn_ml(dr, di, u, br, bi, transpose: bool):
         in_specs=[vec_spec, vec_spec, u_spec, vec_spec, vec_spec],
         out_specs=[vec_spec, vec_spec],
         out_shape=out_shape,
+        interpret=_interpret(),
     )(dr, di, u, br, bi)
     return yr, yi
 

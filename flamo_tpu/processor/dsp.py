@@ -318,7 +318,11 @@ class Matrix(Gain):
 
     def matrix_gallery(self):
         N = self.size[0]
-        if self.matrix_type == "random":
+        if self.matrix_type in ("random", "identity"):
+            # "identity" appears in the reference's e1_mimo example; the
+            # reference's `match` (dsp.py:642-665) has no case for it and
+            # silently keeps the identity MAP (i.e. it behaves exactly like
+            # "random") — accepted here for drop-in compatibility
             self.map = _identity
         elif self.matrix_type == "orthogonal":
             assert N == self.size[1], "Matrix must be square to be orthogonal"
