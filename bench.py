@@ -133,10 +133,13 @@ def measure_jax_evals_per_sec(n_evals: int = 20):
     return n_evals / (time.perf_counter() - t0)
 
 
-def measure_ensemble_steps_per_sec(n_seeds: int = 8, n_steps: int = 50):
+def measure_ensemble_steps_per_sec(n_seeds: int = 8, n_steps: int = 50,
+                                   solve_method: str = "ge_cached"):
     """Vmapped multi-seed training throughput on one chip (the 'batched
     multi-seed' scaling axis named in BASELINE.json).  Returns aggregate
-    model-steps/sec (seeds x optimizer steps / wall time)."""
+    model-steps/sec (seeds x optimizer steps / wall time).  The Pallas
+    kernels vmap cleanly (verified on-chip 2026-08-16), so
+    solve_method='pallas' fuses the per-seed solves too."""
     import jax
     import jax.numpy as jnp
     import flamo_tpu
@@ -149,7 +152,7 @@ def measure_ensemble_steps_per_sec(n_seeds: int = 8, n_steps: int = 50):
     with host_eager():
         ens = MultiSeedEnsemble(
             lambda k: build_colorless_fdn(nfft=NFFT, delays=DELAYS,
-                                          solve_method="ge_cached", key=k),
+                                          solve_method=solve_method, key=k),
             n_seeds=n_seeds)
         M = NFFT // 2 + 1
         inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
@@ -487,6 +490,8 @@ def main():
              lambda: measure_jax_steps_per_sec(args.steps)[0]),
             ("freq_response_evals_per_sec", measure_jax_evals_per_sec),
             ("ensemble8_model_steps_per_sec", measure_ensemble_steps_per_sec),
+            ("ensemble8_pallas_model_steps_per_sec",
+             lambda: measure_ensemble_steps_per_sec(solve_method="pallas")),
             ("active_acoustics_steps_per_sec",
              measure_active_acoustics_steps_per_sec),
         ]:

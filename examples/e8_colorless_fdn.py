@@ -22,7 +22,8 @@ def main(args):
     nfft = args.nfft
     delays = (887, 911, 941, 1699, 1951, 2053) if nfft >= 8192 else \
         (89, 97, 107, 113, 127, 131)
-    model = build_colorless_fdn(nfft=nfft, delays=delays)
+    model = build_colorless_fdn(nfft=nfft, delays=delays,
+                                solve_method=args.solve)
 
     ir_init = np.asarray(
         model.get_time_response(fs=args.samplerate)).squeeze()
@@ -77,5 +78,12 @@ if __name__ == "__main__":
                         lr=1e-3)
     ap.add_argument("--scan", action="store_true",
                     help="fused multi-step scan training (TPU fast path)")
+    ap.add_argument("--solve", type=str, default="ge_cached",
+                    choices=["ge", "ge_nopivot", "ge_cached", "lu",
+                             "pallas"],
+                    help="closed-loop solve kernel; 'pallas' is the fused "
+                         "Mosaic kernel (fastest on TPU; on CPU it runs "
+                         "through the slow Pallas interpreter — "
+                         "validation only)")
     args = setup(ap.parse_args())
     main(args)

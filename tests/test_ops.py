@@ -320,3 +320,44 @@ def test_recursion_dispatches_fused_fdn_kernel(pallas_interpret):
     g_g = jax.grad(loss)(mix.param, "ge")
     rel = float(jnp.abs(g_p - g_g).max() / jnp.abs(g_g).max())
     assert rel < 1e-3
+
+
+def test_pallas_auto_interpret_on_cpu():
+    """Without any monkeypatch, the kernels must auto-select interpreter
+    mode on the CPU backend (ops/pallas_solve._interpret)."""
+    import flamo_tpu.ops.pallas_solve as ps
+
+    assert ps._interpret() is True  # conftest forces the CPU platform
+    rng = np.random.default_rng(21)
+    M, N = 64, 3
+    phase = rng.uniform(0, 2 * np.pi, (M, N))
+    D = jnp.asarray((0.9 * np.exp(1j * phase)).astype(np.complex64))
+    U = jnp.asarray(np.linalg.qr(rng.normal(size=(N, N)))[0]
+                    .astype(np.float32))
+    B = jnp.asarray((rng.normal(size=(M, N))
+                     + 1j * rng.normal(size=(M, N))).astype(np.complex64))
+    y = ps.pallas_fdn_solve(D, U, B)
+    A = (jnp.eye(N, dtype=jnp.complex64)[None]
+         - D[:, :, None] * U[None].astype(jnp.complex64))
+    y_ref = jnp.linalg.solve(A, B[..., None])[..., 0]
+    assert float(jnp.abs(y - y_ref).max()) < 1e-4
+
+
+def test_pallas_fdn_solve_vmap():
+    """The fused kernel composes with vmap (multi-seed ensembles)."""
+    import flamo_tpu.ops.pallas_solve as ps
+
+    rng = np.random.default_rng(22)
+    S, M, N = 3, 64, 3
+    phase = rng.uniform(0, 2 * np.pi, (S, M, N))
+    D = jnp.asarray((0.9 * np.exp(1j * phase)).astype(np.complex64))
+    U = jnp.asarray(np.stack(
+        [np.linalg.qr(rng.normal(size=(N, N)))[0] for _ in range(S)]
+    ).astype(np.float32))
+    B = jnp.asarray((rng.normal(size=(S, M, N))
+                     + 1j * rng.normal(size=(S, M, N))).astype(np.complex64))
+    y = jax.vmap(ps.pallas_fdn_solve)(D, U, B)
+    A = (jnp.eye(N, dtype=jnp.complex64)[None, None]
+         - D[..., None] * U[:, None].astype(jnp.complex64))
+    y_ref = jnp.linalg.solve(A, B[..., None])[..., 0]
+    assert float(jnp.abs(y - y_ref).max()) < 1e-4
