@@ -414,8 +414,10 @@ def main():
                          "timeout — Mosaic has hung on this tunnel in the "
                          "past) and falls back to the XLA ge_cached kernel; "
                          "'pallas' forces the fused kernel")
-    ap.add_argument("--timeout", type=int, default=900,
-                    help="subprocess timeout for --solve pallas")
+    ap.add_argument("--timeout", type=int, default=1500,
+                    help="subprocess timeout for the pallas attempt "
+                         "(gate + train-step compiles take ~5-8 min on "
+                         "the tunnel, much longer if the host is loaded)")
     ap.add_argument("--cache-delays", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="freeze-cache the delay-line responses (re/im "
@@ -431,8 +433,12 @@ def main():
         if args.solve == "pallas":
             pallas_forward_gate()  # nonzero exit on mismatch -> fallback
         solve = "ge_cached" if args.solve == "auto" else args.solve
+        # the fused kernel's ~100 us step needs a longer scan to amortize
+        # the tunnel's per-dispatch latency (K sweep 2026-08-16:
+        # 7725/8864/9880/10322/10618 steps/s at K=400/800/1600/3200/6400)
+        k = 3200 if solve == "pallas" else 400
         sps, fl = measure_jax_scan_steps_per_sec(
-            solve_method=solve, cache_delays=args.cache_delays)
+            k=k, solve_method=solve, cache_delays=args.cache_delays)
         print(json.dumps({"steps_per_sec": sps, "final_loss": fl}))
         return
 
