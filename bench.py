@@ -21,6 +21,20 @@ NFFT = 96000
 DELAYS = (887, 911, 941, 1699, 1951, 2053)
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline.json")
+COMPILE_CACHE = "/tmp/flamo_tpu_jax_cache"
+
+
+def enable_compile_cache():
+    """Persistent XLA compilation cache: makes bench re-runs (and the
+    pallas-subprocess retry after a flaky-phase timeout) skip the
+    multi-minute compiles."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", COMPILE_CACHE)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # older jax or read-only fs: run uncached
 
 
 def measure_jax_steps_per_sec(n_steps: int = 30):
@@ -400,6 +414,7 @@ def scan_bench_subprocess(solve_method: str, timeout: int):
 
 
 def main():
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true",
                     help="print the full metric table")
@@ -447,7 +462,13 @@ def main():
     solve_used = args.solve
     steps_per_sec = final_loss = None
     if args.solve in ("auto", "pallas"):
-        res, err = scan_bench_subprocess("pallas", args.timeout)
+        # one retry: with the persistent compile cache warm from the first
+        # attempt, a retry after a transient flaky phase is cheap
+        res = err = None
+        for timeout in (args.timeout, args.timeout // 2):
+            res, err = scan_bench_subprocess("pallas", timeout)
+            if res is not None:
+                break
         if res is not None:
             steps_per_sec = res["steps_per_sec"]
             final_loss = res["final_loss"]
