@@ -147,13 +147,18 @@ def measure_jax_evals_per_sec(n_evals: int = 20):
     return n_evals / (time.perf_counter() - t0)
 
 
-def measure_ensemble_steps_per_sec(n_seeds: int = 8, n_steps: int = 50,
+def measure_ensemble_steps_per_sec(n_seeds: int = 8, n_steps: int = 400,
                                    solve_method: str = "ge_cached"):
     """Vmapped multi-seed training throughput on one chip (the 'batched
     multi-seed' scaling axis named in BASELINE.json).  Returns aggregate
-    model-steps/sec (seeds x optimizer steps / wall time).  The Pallas
-    kernels vmap cleanly (verified on-chip 2026-08-16), so
-    solve_method='pallas' fuses the per-seed solves too."""
+    model-steps/sec (seeds x optimizer steps / wall time).
+
+    The XLA kernels win here (252k vs 190k model-steps/s at S=8, n=400):
+    the single-model XLA path is launch-overhead-bound, so vmap grows the
+    work per kernel 8x for free, while the Pallas kernel's grid just gets
+    8x more programs at its solo bandwidth.  The Pallas kernels do vmap
+    cleanly (verified on-chip 2026-08-16) — pass solve_method='pallas'
+    to measure them."""
     import jax
     import jax.numpy as jnp
     import flamo_tpu
@@ -176,9 +181,14 @@ def measure_ensemble_steps_per_sec(n_seeds: int = 8, n_steps: int = 50,
     ens.stacked = to_device(ens.stacked)
     inputs, targets = to_device((inputs, targets))
     # warmup/compile with the SAME scan length (avoids a retrace in timing)
-    ens.fit(colorless_loss, inputs, targets, n_steps=n_steps)
+    import jax
+
+    jax.block_until_ready(
+        ens.fit(colorless_loss, inputs, targets, n_steps=n_steps))
     t0 = time.perf_counter()
-    ens.fit(colorless_loss, inputs, targets, n_steps=n_steps)
+    # fit() returns async arrays — block, or this times dispatch only
+    jax.block_until_ready(
+        ens.fit(colorless_loss, inputs, targets, n_steps=n_steps))
     dt = time.perf_counter() - t0
     return n_seeds * n_steps / dt
 
