@@ -140,11 +140,32 @@ class Trainer:
         self._jitted_valid = jax.jit(valid_step)
 
     # ------------------------------------------------------------------
-    def train(self, train_dataset, valid_dataset):
-        """Epoch loop (reference trainer.py:103-153)."""
+    def train(self, train_dataset, valid_dataset, scan: bool = False):
+        """Epoch loop (reference trainer.py:103-153).
+
+        ``scan=True`` is the TPU fast path: every epoch is fused into ONE
+        dispatched ``lax.scan`` program via :meth:`fit_scan_epochs` —
+        numerically the identical step sequence (same step counter, loss
+        masks, Adam/schedule state), minus per-step host round-trips.
+        Batch order is frozen at stacking time and the validation loss is
+        evaluated on the first validation batch; per-criterion loss logs
+        are not populated on this path."""
         self.train_loss, self.valid_loss = [], []
         self.train_loss_log = {self._loss_name(c): [] for c in self.criterion}
         self.valid_loss_log = {self._loss_name(c): [] for c in self.criterion}
+
+        if scan:
+            from flamo_tpu.optimize.dataset import stack_loader
+
+            bx, bt = stack_loader(train_dataset)
+            vx = vt = None
+            for vx, vt in valid_dataset:
+                break
+            st = time.time()
+            self.fit_scan_epochs(bx, bt, n_epochs=self.max_epochs,
+                                 valid_inputs=vx, valid_targets=vt)
+            print("Training time: {:.3f}s".format(time.time() - st))
+            return
 
         steps_per_epoch = max(1, len(train_dataset))
         if self._jitted_step is None:

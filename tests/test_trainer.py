@@ -216,3 +216,28 @@ def test_checkpoint_orbax_roundtrip(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(model),
                     jax.tree_util.tree_leaves(restored)):
         assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_train_scan_kwarg_lockstep():
+    """Trainer.train(..., scan=True) must produce the identical per-epoch
+    train/valid losses as the sequential epoch loop."""
+    from flamo_tpu.optimize import load_dataset
+
+    M = NFFT // 2 + 1
+    x = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, 1))
+    ds = Dataset(input=x, target=t, expand=8)
+
+    def run(scan):
+        flamo_tpu.set_seed(5)
+        model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+        tl, vl = load_dataset(ds, batch_size=2, split=0.75, shuffle=False)
+        tr = Trainer(model, max_epochs=2, lr=1e-2, log=False)
+        tr.register_criterion(mse_loss(nfft=NFFT), 1)
+        tr.train(tl, vl, scan=scan)
+        return tr.train_loss, tr.valid_loss
+
+    loop_tl, loop_vl = run(False)
+    scan_tl, scan_vl = run(True)
+    np.testing.assert_allclose(loop_tl, scan_tl, rtol=1e-5)
+    np.testing.assert_allclose(loop_vl, scan_vl, rtol=1e-5)
