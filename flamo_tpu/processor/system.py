@@ -38,6 +38,47 @@ def _matrix_response_of(module, ext_param=None):
     except NotImplementedError:
         return None
 
+
+def _diag_flat_split(module, ext_param=None):
+    """Factor a module's per-bin map as ``diag(d(f)) @ U`` (rows-scaled
+    frequency-flat matrix).  Returns ``(d, U)`` with d (M, N) or (1, N)
+    and U (N, N), or None when the structure does not factor that way.
+
+    Recognized: a FLAT module directly (d = 1), and a Series of one FLAT
+    stage followed by any number of DIAG stages — the reference FDN
+    feedback topology ``Series(mixing_matrix, attenuation)``, whose map is
+    ``diag(g(f)) @ U``.  (DIAG *before* the FLAT stage scales columns, a
+    different form, and returns None.)  This is what lets the fused Pallas
+    FDN kernel cover attenuated FDNs, not just the colorless one."""
+    r = _matrix_response_of(module, ext_param)
+    if r is not None and r[0] == linop.FLAT:
+        return jnp.ones((1, r[1].shape[0]), r[1].dtype), r[1]
+    if isinstance(module, Series):
+        U = d = None
+        for key, sub in zip(module.keys, module.modules):
+            sext = (_ext_for(ext_param, key) if ext_param is not None
+                    else None)
+            rr = _matrix_response_of(sub, sext)
+            if rr is None:
+                return None
+            kind, H = rr
+            if kind == linop.FLAT:
+                if U is not None or d is not None:
+                    return None  # second flat / flat after diag
+                U = H
+            elif kind == linop.DIAG:
+                if U is None:
+                    return None  # diag before flat: columns-scaled form
+                d = H if d is None else d * H
+            else:
+                return None
+        if U is None:
+            return None
+        if d is None:
+            d = jnp.ones((1, U.shape[0]), U.dtype)
+        return d, U
+    return None
+
 _CHECK_ATTRS = ("nfft", "alias_decay_db", "dtype")
 
 
@@ -376,18 +417,25 @@ class Recursion(Module):
         # (same math as the reference's system.py:417-425, far fewer ops).
         rF = _matrix_response_of(self.feedforward, ext_ff)
         rB = _matrix_response_of(self.feedback, ext_fb)
+        split = (_diag_flat_split(self.feedback, ext_fb)
+                 if self.solve_method == "pallas" else None)
         if (self.solve_method == "pallas" and rF is not None
-                and rB is not None and rF[0] == linop.DIAG
-                and rB[0] == linop.FLAT and B.ndim == 3):
-            # FDN structure (diag feedforward x flat feedback): the fused
-            # Pallas kernel assembles I - diag(D) U in vector registers —
-            # the (M, N, N) loop matrix never touches HBM.  FLAT responses
-            # come from Gain-family modules with real parameters, so
-            # jnp.real is faithful (and keeps the cotangent flowing).
+                and rF[0] == linop.DIAG and split is not None
+                and B.ndim == 3):
+            # FDN structure (diag feedforward x [diag-scaled] flat
+            # feedback): the fused Pallas kernel assembles I - diag(D) U
+            # in vector registers — the (M, N, N) loop matrix never
+            # touches HBM.  Any per-bin diagonal stages after the mixing
+            # matrix (delay-scaled attenuation etc.) fold into D:
+            # I - diag(D_F) diag(g) U = I - diag(D_F * g) U.  The FLAT
+            # factor comes from Gain-family modules with real parameters,
+            # so jnp.real is faithful (and keeps the cotangent flowing).
             from flamo_tpu.ops.pallas_solve import pallas_fdn_solve
 
-            D = jnp.broadcast_to(rF[1].astype(cdtype), (M, N))
-            U = jnp.real(rB[1])
+            dB, U = split
+            D = jnp.broadcast_to(
+                rF[1].astype(cdtype) * dB.astype(cdtype), (M, N))
+            U = jnp.real(U)
             batch = B.shape[0]
             Df = jnp.broadcast_to(D[None], (batch, M, N)).reshape(-1, N)
             y = pallas_fdn_solve(Df, U, B.reshape(-1, N))

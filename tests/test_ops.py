@@ -361,3 +361,61 @@ def test_pallas_fdn_solve_vmap():
          - D[..., None] * U[:, None].astype(jnp.complex64))
     y_ref = jnp.linalg.solve(A, B[..., None])[..., 0]
     assert float(jnp.abs(y - y_ref).max()) < 1e-4
+
+
+def test_recursion_fused_kernel_with_attenuated_feedback(pallas_interpret):
+    """The fused dispatch must also cover the reference FDN topology
+    Series(mixing_matrix, attenuation): B = diag(g(f)) U folds the
+    per-bin diagonal into D (I - diag(D*g) U)."""
+    ps = pallas_interpret
+    from collections import OrderedDict
+
+    import flamo_tpu
+    from flamo_tpu.processor import dsp, system
+
+    flamo_tpu.set_seed(6)
+    nfft, N = 512, 4
+    delays = dsp.parallelDelay(size=(N,), max_len=64, nfft=nfft, isint=True)
+    mix = dsp.Matrix(size=(N, N), nfft=nfft, matrix_type="orthogonal")
+    mix = mix.replace(param=mix.param * 0.2)
+    atten = dsp.parallelGEQ(size=(N,), octave_interval=1, nfft=nfft,
+                            fs=48000,
+                            map=lambda p: 20 * jnp.log10(
+                                jax.nn.sigmoid(p)))
+    fb = system.Series(OrderedDict(
+        {"mixing_matrix": mix, "attenuation": atten}))
+
+    x = jnp.zeros((1, nfft // 2 + 1, N), dtype=jnp.complex64)
+    x = x.at[:, 0, :].set(1.0 + 0j)
+
+    y_ge = system.Recursion(fF=delays, fB=fb, solve_method="ge")(x)
+
+    calls = {"fdn": 0}
+    orig = ps.pallas_fdn_solve
+
+    def counting(D, U, B):
+        calls["fdn"] += 1
+        return orig(D, U, B)
+
+    ps.pallas_fdn_solve = counting
+    try:
+        y_p = system.Recursion(fF=delays, fB=fb, solve_method="pallas")(x)
+    finally:
+        ps.pallas_fdn_solve = orig
+
+    assert calls["fdn"] == 1, "fused kernel not dispatched for Series fb"
+    assert float(jnp.abs(y_p - y_ge).max() /
+                 jnp.abs(y_ge).max()) < 1e-4
+
+    # gradients through the folded-diag path match the dense path
+    def loss(mix_param, method):
+        m = mix.replace(param=mix_param)
+        f = system.Series(OrderedDict(
+            {"mixing_matrix": m, "attenuation": atten}))
+        rec = system.Recursion(fF=delays, fB=f, solve_method=method)
+        return jnp.sum(jnp.abs(rec(x)) ** 2)
+
+    g_p = jax.grad(loss)(mix.param, "pallas")
+    g_g = jax.grad(loss)(mix.param, "ge")
+    rel = float(jnp.abs(g_p - g_g).max() / jnp.abs(g_g).max())
+    assert rel < 1e-3
