@@ -20,8 +20,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from flamo_tpu.processor import dsp, system
-from flamo_tpu.processor.dsp import Filter, _identity, _iir_eps_guard
-from flamo_tpu.functional import poly_response
+from flamo_tpu.processor.dsp import (Filter, _identity, _iir_eps_guard,
+                                      _iir_guard_prods)
+from flamo_tpu.functional import cascade_prods, poly_response
 from flamo_tpu.utils import next_key
 from flamo_tpu.auxiliary.eq import accurate_geq, geq
 
@@ -445,7 +446,8 @@ class parallelFDNGEQ(dsp.parallelGEQ):
         env = env.reshape((3, 1, 1))
         B = poly_response(b * env, self.nfft)
         A = poly_response(a * env, self.nfft)
-        return _iir_eps_guard(B, A), B, A
+        return _iir_guard_prods(
+            *cascade_prods(b * env, a * env, self.nfft)), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
@@ -593,7 +595,8 @@ class parallelFDNPEQ(Filter):
         b3, a3 = self._envelope_coeffs(param)
         B = poly_response(b3, self.nfft)
         A = poly_response(a3, self.nfft)
-        return _iir_eps_guard(B, A), B, A
+        return _iir_guard_prods(
+            *cascade_prods(b3, a3, self.nfft)), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]

@@ -313,6 +313,40 @@ def poly_response(coeffs, nfft: int):
     return out
 
 
+def cascade_prods(b, a, nfft: int):
+    """``(prod_k polyval(b[:, k]), prod_k polyval(a[:, k]))`` on the rfft
+    grid, evaluated as ONE fused Horner-and-multiply elementwise chain.
+
+    b, a: (P, K, ...) tap-major SOS cascades.  Equivalent to
+    ``jnp.prod(poly_response(b, nfft), axis=1)`` (same for a) but the
+    (M, K, ...) per-section responses are never materialized — at
+    nfft=96000 a (M, 13, 6) complex intermediate is ~30 MB per array, and
+    the cascade modules (GEQ/PEQ/Biquad/SOS/SVF) pay that four times per
+    training step (B, A, forward + backward).  The unrolled K-section
+    chain fuses into a handful of VPU kernels instead."""
+    b = jnp.asarray(b)
+    a = jnp.asarray(a)
+    P = b.shape[0]
+    K = b.shape[1]
+    rdtype = (b.real.dtype if jnp.issubdtype(b.dtype, jnp.complexfloating)
+              else b.dtype)
+    zinv = rfft_phasor(nfft, rdtype)
+    zinv = zinv.reshape((-1,) + (1,) * (b.ndim - 2))
+
+    def polyval(c):  # (P, ...) -> (M, ...)
+        out = jnp.asarray(c[P - 1], dtype=zinv.dtype)
+        for j in range(P - 2, -1, -1):
+            out = out * zinv + c[j]
+        return out
+
+    prodB = polyval(b[:, 0])
+    prodA = polyval(a[:, 0])
+    for k in range(1, K):
+        prodB = prodB * polyval(b[:, k])
+        prodA = prodA * polyval(a[:, k])
+    return prodB, prodA
+
+
 def biquad2tf(b, a, nfft: int):
     """Cascade of biquads -> transfer function (reference functional.py:141-161).
 

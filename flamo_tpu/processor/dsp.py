@@ -32,6 +32,7 @@ from flamo_tpu.core import Module, complex_dtype_for
 from flamo_tpu.utils import next_key, to_complex
 from flamo_tpu.functional import (
     bandpass_filter,
+    cascade_prods,
     expm_skew,
     HadamardMatrix,
     hadamard_matrix_jnp,
@@ -535,18 +536,37 @@ class VelvetNoiseMatrix(ScatteringMatrix):
 # -------------------- parametric IIR families ------------------------------
 
 
-def _iir_eps_guard(B, A):
-    """H = prod B / prod A with the reference's eps guard (dsp.py:1520-1526).
+def _iir_guard_prods(prodB, prodA):
+    """H = prodB / prodA with the reference's eps guard (dsp.py:1520-1526).
 
     Uses the double-where pattern so the guarded division cannot poison
     gradients with NaN (jnp.where grads flow through BOTH branches)."""
-    prodB = jnp.prod(B, axis=1)
-    prodA = jnp.prod(A, axis=1)
     ok = jnp.abs(prodA) != 0
     prodA_safe = jnp.where(ok, prodA, jnp.ones_like(prodA))
     eps = jnp.finfo(prodA.real.dtype).eps
     return jnp.where(ok, prodB / prodA_safe,
                      jnp.asarray(eps, dtype=prodB.dtype))
+
+
+def _iir_eps_guard(B, A):
+    """Guarded prod-of-sections ratio from materialized (M, K, ...)
+    per-section responses."""
+    return _iir_guard_prods(jnp.prod(B, axis=1), jnp.prod(A, axis=1))
+
+
+def _cascade_response_guarded(b, a, gamma, nfft):
+    """Guarded cascade response straight from SOS coefficients (P, K, ...):
+    one fused Horner-product chain via functional.cascade_prods — no
+    (M, K, ...) materialization (the B/A returns of get_poly_coeff remain
+    available for API parity but are dead code unless a caller uses
+    them)."""
+    from flamo_tpu.functional import cascade_prods
+
+    P = b.shape[0]
+    env = (jnp.asarray(gamma, b.dtype)
+           ** jnp.arange(P, dtype=b.dtype)).reshape(
+        (P,) + (1,) * (b.ndim - 1))
+    return _iir_guard_prods(*cascade_prods(b * env, a * env, nfft))
 
 
 class Biquad(Filter):
@@ -623,7 +643,8 @@ class Biquad(Filter):
         env = env.reshape((3,) + (1,) * (b.ndim - 1))
         B = poly_response(b * env, self.nfft)  # (M, K, ...)
         A = poly_response(a * env, self.nfft)
-        return _iir_eps_guard(B, A), B, A
+        return _iir_guard_prods(
+            *cascade_prods(b * env, a * env, self.nfft)), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
@@ -705,7 +726,8 @@ class SOSFilter(Filter):
         env = env.reshape((3,) + (1,) * (b.ndim - 1))
         B = poly_response(b * env, self.nfft)
         A = poly_response(a * env, self.nfft)
-        return _iir_eps_guard(B, A), B, A
+        return _iir_guard_prods(
+            *cascade_prods(b * env, a * env, self.nfft)), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
@@ -829,7 +851,8 @@ class SVF(Filter):
         env = env.reshape((3,) + (1,) * (b.ndim - 1))
         B = poly_response(b * env, self.nfft)
         A = poly_response(a * env, self.nfft)
-        return _iir_eps_guard(B, A), B, A
+        return _iir_guard_prods(
+            *cascade_prods(b * env, a * env, self.nfft)), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
@@ -923,7 +946,8 @@ class GEQ(Filter):
         env = env.reshape((3,) + (1,) * (b.ndim - 1))
         B = poly_response(b * env, self.nfft)
         A = poly_response(a * env, self.nfft)
-        return _iir_eps_guard(B, A), B, A
+        return _iir_guard_prods(
+            *cascade_prods(b * env, a * env, self.nfft)), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
@@ -1078,7 +1102,8 @@ class PEQ(Filter):
         a3 = jnp.moveaxis(a * env, 1, 0)
         B = poly_response(b3, self.nfft)  # (M, n_bands, ...)
         A = poly_response(a3, self.nfft)
-        return _iir_eps_guard(B, A), B, A
+        return _iir_guard_prods(
+            *cascade_prods(b3, a3, self.nfft)), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
@@ -1191,7 +1216,8 @@ class AccurateGEQ(Filter):
         env = env.reshape((3,) + (1,) * (self.sos_b.ndim - 1))
         B = poly_response(self.sos_b * env, self.nfft)
         A = poly_response(self.sos_a * env, self.nfft)
-        return _iir_eps_guard(B, A), B, A
+        return _iir_guard_prods(
+            *cascade_prods(self.sos_b * env, self.sos_a * env, self.nfft)), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff()[0]
