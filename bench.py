@@ -193,6 +193,81 @@ def measure_ensemble_steps_per_sec(n_seeds: int = 8, n_steps: int = 400,
     return n_seeds * n_steps / dt
 
 
+def measure_attenuated_fdn_steps_per_sec(k: int = 400, n_calls: int = 2,
+                                         solve_method: str = "pallas"):
+    """Third workload: the reference e8_fdn topology — delays feedforward,
+    Series(orthogonal mixing, sigmoid-mapped parallelGEQ) feedback — with
+    the fused kernel's folded-diag dispatch.  Unlike the colorless
+    flagship this step is dominated by the per-step GEQ band design +
+    cascade response VJP (~360 kernels/step), so the solve kernel choice
+    moves it little (profiled 2026-08-16)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from collections import OrderedDict
+    import flamo_tpu
+    from flamo_tpu.core import trainable_mask
+    from flamo_tpu.processor import dsp, system
+    from flamo_tpu.utils import host_eager, to_device
+
+    flamo_tpu.set_seed(130709)
+    N = len(DELAYS)
+    with host_eager():
+        dl = dsp.parallelDelay(size=(N,), max_len=max(DELAYS), nfft=NFFT,
+                               isint=True)
+        dl = dl.assign_value(
+            dl.sample2s(jnp.asarray(DELAYS, jnp.float32)))
+        mix = dsp.Matrix(size=(N, N), nfft=NFFT, matrix_type="orthogonal",
+                         requires_grad=True)
+        att = dsp.parallelGEQ(
+            size=(N,), octave_interval=1, nfft=NFFT, fs=48000,
+            map=lambda p: 20 * jnp.log10(jax.nn.sigmoid(p)),
+            requires_grad=True)
+        fb = system.Series(OrderedDict(
+            {"mixing_matrix": mix, "attenuation": att}))
+        loop = system.Recursion(fF=dl, fB=fb, solve_method=solve_method)
+        core = system.Series(OrderedDict({
+            "ig": dsp.Gain(size=(N, 1), nfft=NFFT, requires_grad=True),
+            "loop": loop,
+            "og": dsp.Gain(size=(1, N), nfft=NFFT, requires_grad=True)}))
+        m = system.Shell(core=core, input_layer=dsp.FFT(NFFT))
+        M = NFFT // 2 + 1
+        x = jnp.zeros((1, NFFT, 1)).at[:, 0, :].set(1.0)
+        t = jnp.ones((1, M, 1))
+        tx = optax.adam(1e-4)
+        mask = trainable_mask(m)
+        o = tx.init(m)
+    m, o, x, t = to_device((m, o, x, t))
+
+    def loss_fn(m):
+        return jnp.mean((jnp.abs(m(x)) - t) ** 2)
+
+    def step(m, o):
+        loss, g = jax.value_and_grad(loss_fn)(m)
+        g = jax.tree_util.tree_map(
+            lambda gr, ms: gr if ms else jnp.zeros_like(gr), g, mask)
+        up, o = tx.update(g, o, m)
+        return optax.apply_updates(m, up), o, loss
+
+    def multi(m, o):
+        def body(c, _):
+            mm, oo = c
+            mm, oo, l = step(mm, oo)
+            return (mm, oo), l
+
+        (m, o), ls = jax.lax.scan(body, (m, o), None, length=k)
+        return m, o, ls[-1]
+
+    jm = jax.jit(multi, donate_argnums=(0, 1))
+    m, o, loss = jm(m, o)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        m, o, loss = jm(m, o)
+    jax.block_until_ready(loss)
+    return n_calls * k / (time.perf_counter() - t0)
+
+
 def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3):
     """Second headline workload (BASELINE.md): active acoustics, 4 mics x
     13 loudspeakers, RIR length 15000, FIR order 100, nfft=96000."""
@@ -529,6 +604,8 @@ def main():
             ("ensemble8_model_steps_per_sec", measure_ensemble_steps_per_sec),
             ("ensemble8_pallas_model_steps_per_sec",
              lambda: measure_ensemble_steps_per_sec(solve_method="pallas")),
+            ("attenuated_fdn_steps_per_sec",
+             measure_attenuated_fdn_steps_per_sec),
             ("active_acoustics_steps_per_sec",
              measure_active_acoustics_steps_per_sec),
         ]:
