@@ -470,7 +470,12 @@ class Recursion(Module):
         kL, L = linop.compose(rF[0], rF[1], rB[0], rB[1])
         A = (jnp.eye(N_out, dtype=cdtype)
              - linop.materialize(kL, L.astype(cdtype), M, N_out, N_out))
-        return linop.FULL, gauss_solve(A, Fm)
+        # honor the instance's solve kernel (the pivot search alone is
+        # ~60% of a pivoted solve's cost on TPU); the fused pallas kernel
+        # is vector-rhs-only, so it maps to its XLA twin here
+        method = ("ge_cached" if self.solve_method == "pallas"
+                  else self.solve_method)
+        return linop.FULL, closed_loop_solve(A, Fm, method=method)
 
     def probe(self, z):
         """H(z) = solve(I - F B, F) (reference system.py:517-534)."""
