@@ -86,11 +86,14 @@ def measure_jax_scan_steps_per_sec(k: int = 400, n_calls: int = 2,
     from flamo_tpu.utils import host_eager
 
     flamo_tpu.set_seed(130709)
+    fused_tf = solve_method == "pallas_tf"
     with host_eager():
-        model = build_colorless_fdn(nfft=NFFT, delays=DELAYS,
-                                    solve_method=solve_method,
-                                    cache_delays=cache_delays)
-        step, opt_state = colorless_train_step(model, lr=1e-3)
+        model = build_colorless_fdn(
+            nfft=NFFT, delays=DELAYS,
+            solve_method="ge_cached" if fused_tf else solve_method,
+            cache_delays=cache_delays)
+        step, opt_state = colorless_train_step(model, lr=1e-3,
+                                               fused_tf=fused_tf)
         M = NFFT // 2 + 1
         inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
         targets = jnp.ones((1, M, 1))
@@ -521,7 +524,7 @@ def main():
     ap.add_argument("--steps", type=int, default=30)
     ap.add_argument("--solve", type=str, default="auto",
                     choices=["auto", "ge_cached", "ge", "ge_nopivot",
-                             "ge_mat", "pallas", "lu"],
+                             "ge_mat", "pallas", "pallas_tf", "lu"],
                     help="solve kernel for the scan bench.  'auto' "
                          "(default) tries the fused FDN Mosaic kernel in a "
                          "gated subprocess (forward-parity check + hard "

@@ -101,3 +101,55 @@ def colorless_train_step(model, lr: float = 1e-3):
         return model, opt_state, loss
 
     return step, opt_state
+
+
+def colorless_loss_fused_tf(model, inputs, targets,
+                            sparsity_weight: float = 0.2):
+    """colorless_loss through :func:`ops.pallas_solve.pallas_fdn_tf`.
+
+    The colorless model is SISO around the loop (Gain(N,1) -> closed loop
+    -> Gain(1,N)), so its whole frequency response is the scalar FDN
+    transfer function tf(z) = c^T (I - diag(D) U)^{-1} b.  The fused
+    kernel assembles, solves, and applies BOTH projections in vector
+    registers: per bin only D is read and one complex scalar written —
+    the (M, N) loop rhs/solution of the solve-then-project path never
+    exist.  Numerically the same model (gradients flow into the gain,
+    delay, and mixing-matrix parameters through the kernel's VJP)."""
+    from flamo_tpu.ops.pallas_solve import pallas_fdn_tf
+
+    core = model.get_core()
+    loop = core.feedback_loop
+    M = model.nfft // 2 + 1
+    kD, D = loop.feedforward.matrix_response()
+    assert kD == "diag", "fused tf needs a diagonal feedforward"
+    D = jnp.broadcast_to(D, (M, D.shape[-1]))
+    U = jnp.real(loop.feedback.matrix_response()[1])
+    b = jnp.real(core.input_gain.matrix_response()[1])[:, 0]
+    c = jnp.real(core.output_gain.matrix_response()[1])[0, :]
+    tf = pallas_fdn_tf(D, U, b, c)
+
+    X = jnp.fft.rfft(inputs, n=model.nfft, axis=1)
+    est = jnp.abs(tf[None, :, None] * X)
+    return _MSE(est, targets) + sparsity_weight * _SPARSITY(est, targets,
+                                                            model)
+
+
+def colorless_train_step(model, lr: float = 1e-3, fused_tf: bool = False):
+    """Build (jittable_step, opt_state) for this workload.
+
+    fused_tf=True swaps the forward for :func:`colorless_loss_fused_tf`
+    (the register-resident transfer-function kernel)."""
+    tx = optax.adam(lr)
+    mask = trainable_mask(model)
+    opt_state = tx.init(model)
+    loss_fn = colorless_loss_fused_tf if fused_tf else colorless_loss
+
+    def step(model, opt_state, inputs, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(model, inputs, targets)
+        grads = jax.tree_util.tree_map(
+            lambda g, m: g if m else jnp.zeros_like(g), grads, mask)
+        updates, opt_state = tx.update(grads, opt_state, model)
+        model = optax.apply_updates(model, updates)
+        return model, opt_state, loss
+
+    return step, opt_state

@@ -304,3 +304,222 @@ def _fdn_bwd(res, y_bar):
 
 
 pallas_fdn_solve.defvjp(_fdn_fwd, _fdn_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused FDN transfer-function kernel: tf(z) = c^T (I - diag(D) U)^{-1} b
+# ---------------------------------------------------------------------------
+def _assemble_fdn(N, dr_ref, di_ref, u_ref, shape, transpose=False):
+    """I - diag(D) U as an NxN list-of-lists of (re, im) register tiles."""
+    D = [(dr_ref[i].reshape(shape), di_ref[i].reshape(shape))
+         for i in range(N)]
+    A = []
+    for i in range(N):
+        row = []
+        for j in range(N):
+            if transpose:
+                u = u_ref[j, i]
+                d = D[j]
+            else:
+                u = u_ref[i, j]
+                d = D[i]
+            re = -d[0] * u
+            im = -d[1] * u
+            if i == j:
+                re = re + 1.0
+            row.append((re, im))
+        A.append(row)
+    return A, D
+
+
+def _fdn_tf_kernel(N: int, dr_ref, di_ref, u_ref, b_ref, c_ref,
+                   tr_ref, ti_ref, yr_ref, yi_ref):
+    """out_m = sum_i c_i y_mi with (I - diag(D_m) U) y_m = D_m * b
+    (the canonical FDN transfer function: delays feed both the loop
+    matrix and the input injection).
+
+    The input projection b (N,) and output projection c (N,) live in the
+    kernel: the (M, N) rhs never touches HBM.  y is written out for the
+    backward (the kernel is issue-bound, so storing beats recomputing —
+    measured 9.3k vs 11k+ steps/s end to end).  refs: d*/y* (N, TILE),
+    u (N, N), b/c (N, 1) real, t* (1, TILE)."""
+    shape = (TILE // 128, 128)
+    A, D = _assemble_fdn(N, dr_ref, di_ref, u_ref, shape)
+    rhs = [(D[i][0] * b_ref[i, 0], D[i][1] * b_ref[i, 0])
+           for i in range(N)]
+    y = _ge_core(A, rhs, N, shape)
+    acc_r = jnp.zeros(shape, dr_ref.dtype)
+    acc_i = jnp.zeros(shape, dr_ref.dtype)
+    for i in range(N):
+        acc_r = acc_r + c_ref[i, 0] * y[i][0]
+        acc_i = acc_i + c_ref[i, 0] * y[i][1]
+        yr_ref[i] = y[i][0].reshape(-1)
+        yi_ref[i] = y[i][1].reshape(-1)
+    tr_ref[0] = acc_r.reshape(-1)
+    ti_ref[0] = acc_i.reshape(-1)
+
+
+def _fdn_tf_bwd_kernel(N: int, dr_ref, di_ref, u_ref, b_ref, c_ref,
+                       yr_ref, yi_ref, tbr_ref, tbi_ref,
+                       dbr_ref, dbi_ref, ub_ref, bb_ref, cb_ref):
+    """Backward tile: ONE elimination (w = A^{-T} c); y comes from the
+    forward.  Then
+
+        D_bar_mi = (tf_bar_m w_mi) ((U y_m)_i + b_i)
+        U_bar_ij = Re sum_m tf_bar_m w_mi D_mi y_mj   (per-tile partial)
+        b_bar_i  = Re sum_m tf_bar_m w_mi D_mi        (per-tile partial)
+        c_bar_i  = Re sum_m tf_bar_m y_mi             (per-tile partial)
+
+    Partials are written per grid program and summed by the caller."""
+    shape = (TILE // 128, 128)
+    zeros = jnp.zeros(shape, dr_ref.dtype)
+    At, D = _assemble_fdn(N, dr_ref, di_ref, u_ref, shape, transpose=True)
+    rhs_c = [(c_ref[i, 0] + zeros, zeros) for i in range(N)]
+    w = _ge_core(At, rhs_c, N, shape)
+    y = [(yr_ref[i].reshape(shape), yi_ref[i].reshape(shape))
+         for i in range(N)]
+    tb = (tbr_ref[0].reshape(shape), tbi_ref[0].reshape(shape))
+
+    # U y per channel (complex, real U)
+    Uy = []
+    for i in range(N):
+        ur = jnp.zeros(shape, dr_ref.dtype)
+        ui = jnp.zeros(shape, dr_ref.dtype)
+        for j in range(N):
+            ur = ur + u_ref[i, j] * y[j][0]
+            ui = ui + u_ref[i, j] * y[j][1]
+        Uy.append((ur, ui))
+
+    bbar_rows = []
+    cbar_rows = []
+    ubar_rows = []
+    for i in range(N):
+        bb = _cmul(tb, w[i])          # per-bin rhs cotangent
+        # D appears in the matrix (-diag(D) U) AND the rhs (diag(D) b)
+        db = _cmul(bb, (Uy[i][0] + b_ref[i, 0], Uy[i][1]))
+        dbr_ref[i] = db[0].reshape(-1)
+        dbi_ref[i] = db[1].reshape(-1)
+        bbar_rows.append(jnp.sum(_cmul(bb, D[i])[0]))
+        cbar_rows.append(jnp.sum(_cmul(tb, y[i])[0]))
+        bbD = _cmul(bb, D[i])
+        row = []
+        for j in range(N):
+            row.append(jnp.sum(_cmul(bbD, y[j])[0]))
+        ubar_rows.append(jnp.stack(row))
+    ub_ref[0] = jnp.stack(ubar_rows)
+    bb_ref[0] = jnp.stack(bbar_rows).reshape(N, 1)
+    cb_ref[0] = jnp.stack(cbar_rows).reshape(N, 1)
+
+
+def _fdn_tf_ml(dr, di, u, b, c):
+    N, Mp = dr.shape
+    grid = (Mp // TILE,)
+    vec_spec = pl.BlockSpec((N, TILE), lambda m: (0, m),
+                            memory_space=pltpu.VMEM)
+    u_spec = pl.BlockSpec((N, N), lambda m: (0, 0),
+                          memory_space=pltpu.VMEM)
+    nv_spec = pl.BlockSpec((N, 1), lambda m: (0, 0),
+                           memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((1, TILE), lambda m: (0, m),
+                          memory_space=pltpu.VMEM)
+    out_shape = ([jax.ShapeDtypeStruct((1, Mp), dr.dtype)] * 2
+                 + [jax.ShapeDtypeStruct((N, Mp), dr.dtype)] * 2)
+    tr, ti, yr, yi = pl.pallas_call(
+        partial(_fdn_tf_kernel, N),
+        grid=grid,
+        in_specs=[vec_spec, vec_spec, u_spec, nv_spec, nv_spec],
+        out_specs=[t_spec, t_spec, vec_spec, vec_spec],
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(dr, di, u, b, c)
+    return tr, ti, yr, yi
+
+
+def _fdn_tf_bwd_ml(dr, di, u, b, c, yr, yi, tbr, tbi):
+    N, Mp = dr.shape
+    n_tiles = Mp // TILE
+    grid = (n_tiles,)
+    vec_spec = pl.BlockSpec((N, TILE), lambda m: (0, m),
+                            memory_space=pltpu.VMEM)
+    u_spec = pl.BlockSpec((N, N), lambda m: (0, 0),
+                          memory_space=pltpu.VMEM)
+    nv_spec = pl.BlockSpec((N, 1), lambda m: (0, 0),
+                           memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((1, TILE), lambda m: (0, m),
+                          memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        partial(_fdn_tf_bwd_kernel, N),
+        grid=grid,
+        in_specs=[vec_spec, vec_spec, u_spec, nv_spec, nv_spec,
+                  vec_spec, vec_spec, t_spec, t_spec],
+        out_specs=[vec_spec, vec_spec,
+                   pl.BlockSpec((1, N, N), lambda m: (m, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, N, 1), lambda m: (m, 0, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((1, N, 1), lambda m: (m, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((N, Mp), dr.dtype)] * 2
+        + [jax.ShapeDtypeStruct((n_tiles, N, N), dr.dtype),
+           jax.ShapeDtypeStruct((n_tiles, N, 1), dr.dtype),
+           jax.ShapeDtypeStruct((n_tiles, N, 1), dr.dtype)],
+        interpret=_interpret(),
+    )(dr, di, u, b, c, yr, yi, tbr, tbi)
+    return outs
+
+
+def _fdn_tf_prep(D, U, b, c):
+    M, N = D.shape
+    Mp = ((M + TILE - 1) // TILE) * TILE
+    pad = Mp - M
+    Dt = jnp.transpose(D, (1, 0))
+    if pad:
+        Dt = jnp.concatenate([Dt, jnp.zeros((N, pad), Dt.dtype)], axis=1)
+    rdtype = jnp.real(D).dtype
+    return (jnp.real(Dt), jnp.imag(Dt), U.astype(rdtype),
+            b.astype(rdtype)[:, None], c.astype(rdtype)[:, None], M, Mp)
+
+
+@jax.custom_vjp
+def pallas_fdn_tf(D, U, b, c):
+    """Fused FDN SISO transfer function on the rfft grid:
+
+        tf_m = c^T (I - diag(D_m) U)^{-1} diag(D_m) b
+
+    D (M, N) complex delay-line responses; U (N, N) real mixing matrix;
+    b/c (N,) real input/output gains.  Assembly, solve, and both
+    projections happen in vector registers — per bin only D is read and
+    one complex scalar is written (the (M, N) rhs of
+    :func:`pallas_fdn_solve` never exists).  The VJP runs one adjoint
+    elimination (w = A^{-T} c); y is stored by the forward."""
+    dr, di, u, b2, c2, M, Mp = _fdn_tf_prep(D, U, b, c)
+    tr, ti, _, _ = _fdn_tf_ml(dr, di, u, b2, c2)
+    return (tr + 1j * ti)[0, :M]
+
+
+def _fdn_tf_fwd(D, U, b, c):
+    dr, di, u, b2, c2, M, Mp = _fdn_tf_prep(D, U, b, c)
+    tr, ti, yr, yi = _fdn_tf_ml(dr, di, u, b2, c2)
+    return (tr + 1j * ti)[0, :M], (D, U, b, c, yr, yi)
+
+
+def _fdn_tf_bwd(res, tf_bar):
+    D, U, b, c, yr, yi = res
+    dr, di, u, b2, c2, M, Mp = _fdn_tf_prep(D, U, b, c)
+    pad = Mp - M
+    tbr = jnp.real(tf_bar)[None, :]
+    tbi = jnp.imag(tf_bar)[None, :]
+    if pad:
+        z = jnp.zeros((1, pad), tbr.dtype)
+        tbr = jnp.concatenate([tbr, z], axis=1)
+        tbi = jnp.concatenate([tbi, z], axis=1)
+    dbr, dbi, ub, bb, cb = _fdn_tf_bwd_ml(dr, di, u, b2, c2, yr, yi,
+                                          tbr, tbi)
+    D_bar = jnp.transpose(dbr + 1j * dbi, (1, 0))[:M]
+    U_bar = jnp.sum(ub, axis=0).astype(U.dtype)
+    b_bar = jnp.sum(bb, axis=0)[:, 0].astype(b.dtype)
+    c_bar = jnp.sum(cb, axis=0)[:, 0].astype(c.dtype)
+    return D_bar, U_bar, b_bar, c_bar
+
+
+pallas_fdn_tf.defvjp(_fdn_tf_fwd, _fdn_tf_bwd)

@@ -419,3 +419,60 @@ def test_recursion_fused_kernel_with_attenuated_feedback(pallas_interpret):
     g_g = jax.grad(loss)(mix.param, "ge")
     rel = float(jnp.abs(g_p - g_g).max() / jnp.abs(g_g).max())
     assert rel < 1e-3
+
+
+def test_pallas_fdn_tf(pallas_interpret):
+    """Fused FDN transfer function tf = c^T (I-DU)^{-1} D b: values and
+    all four gradients vs the dense formula."""
+    ps = pallas_interpret
+    rng = np.random.default_rng(30)
+    M, N = 300, 3
+    D = jnp.asarray((0.85 * np.exp(
+        1j * rng.uniform(0, 2 * np.pi, (M, N)))).astype(np.complex64))
+    U = jnp.asarray(np.linalg.qr(rng.normal(size=(N, N)))[0]
+                    .astype(np.float32))
+    b = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=N).astype(np.float32))
+
+    def loss_p(D, U, b, c):
+        return jnp.sum(jnp.abs(ps.pallas_fdn_tf(D, U, b, c)) ** 2)
+
+    def loss_ref(D, U, b, c):
+        A = (jnp.eye(N, dtype=jnp.complex64)[None]
+             - D[:, :, None] * U[None].astype(jnp.complex64))
+        rhs = D * b.astype(jnp.complex64)
+        y = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+        return jnp.sum(jnp.abs(jnp.sum(y * c, -1)) ** 2)
+
+    lp = jax.jit(loss_p)(D, U, b, c)
+    lr = jax.jit(loss_ref)(D, U, b, c)
+    assert float(jnp.abs(lp - lr) / lr) < 1e-5
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2, 3)))(D, U, b, c)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3)))(D, U, b, c)
+    for a, bb in zip(gp, gr):
+        assert float(jnp.abs(a - bb).max() / jnp.abs(bb).max()) < 2e-3
+
+
+def test_colorless_fused_tf_loss_matches(pallas_interpret):
+    """The model-level fused-tf loss is the standard colorless loss."""
+    import flamo_tpu
+    from flamo_tpu.models import build_colorless_fdn
+    from flamo_tpu.models.colorless_fdn import (colorless_loss,
+                                                colorless_loss_fused_tf)
+
+    flamo_tpu.set_seed(11)
+    # small: grad-of-interpreted-kernel compiles scale with N^3 x tiles
+    m = build_colorless_fdn(nfft=512, delays=(89, 97, 107, 113))
+    M = 512 // 2 + 1
+    x = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, 1))
+    l1 = float(jax.jit(colorless_loss)(m, x, t))
+    l2 = float(jax.jit(colorless_loss_fused_tf)(m, x, t))
+    assert abs(l1 - l2) / abs(l1) < 1e-4
+    g1 = jax.jit(jax.grad(colorless_loss))(m, x, t)
+    g2 = jax.jit(jax.grad(colorless_loss_fused_tf))(m, x, t)
+    for a, bb in zip(jax.tree_util.tree_leaves(g1),
+                     jax.tree_util.tree_leaves(g2)):
+        d = float(jnp.abs(a - bb).max())
+        s = max(1e-9, float(jnp.abs(a).max()))
+        assert d / s < 5e-3
