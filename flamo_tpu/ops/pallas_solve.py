@@ -34,7 +34,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# bins per grid program; must be a multiple of (8 sublanes * 128 lanes)
+# bins per grid program.  1024 = exactly ONE native f32 (8, 128) vector
+# register per elimination scalar — do not change it: TILE=512 (half-reg
+# tiles) and TILE=2048 (double-reg) both measured 20-40x SLOWER on chip
+# (279 / 473 vs 10770 steps/s end to end, 2026-08-17 sweep).
 TILE = 1024
 
 
