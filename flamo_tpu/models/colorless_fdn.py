@@ -85,22 +85,28 @@ def colorless_loss(model, inputs, targets, sparsity_weight: float = 0.2):
                                                            model)
 
 
-def colorless_train_step(model, lr: float = 1e-3):
-    """Build (jittable_step, opt_state) for this workload."""
-    tx = optax.adam(lr)
-    mask = trainable_mask(model)
-    opt_state = tx.init(model)
+def extract_siso_tf_operands(model):
+    """Pull the canonical SISO FDN transfer-function operands (D, U, b, c)
+    out of a Shell whose core is Series(input Gain(N,1), Recursion with a
+    diagonal feedforward, output Gain(1,N)).
 
-    def step(model, opt_state, inputs, targets):
-        loss, grads = jax.value_and_grad(colorless_loss)(model, inputs,
-                                                         targets)
-        grads = jax.tree_util.tree_map(
-            lambda g, m: g if m else jnp.zeros_like(g), grads, mask)
-        updates, opt_state = tx.update(grads, opt_state, model)
-        model = optax.apply_updates(model, updates)
-        return model, opt_state, loss
-
-    return step, opt_state
+    Returns arrays shaped for :func:`ops.pallas_solve.pallas_fdn_tf`:
+    D (M, N) complex per-bin diagonal, U (N, N) real feedback matrix,
+    b (N,) input projection, c (N,) output projection, such that
+    tf(z) = c^T (I - diag(D) U)^{-1} diag(D) b."""
+    core = model.get_core()
+    loop = core.feedback_loop
+    M = model.nfft // 2 + 1
+    kD, D = loop.feedforward.matrix_response()
+    if kD != "diag":
+        raise ValueError(
+            "extract_siso_tf_operands needs a diagonal feedforward, got "
+            f"matrix_response kind {kD!r}")
+    D = jnp.broadcast_to(D, (M, D.shape[-1]))
+    U = jnp.real(loop.feedback.matrix_response()[1])
+    b = jnp.real(core.input_gain.matrix_response()[1])[:, 0]
+    c = jnp.real(core.output_gain.matrix_response()[1])[0, :]
+    return D, U, b, c
 
 
 def colorless_loss_fused_tf(model, inputs, targets,
@@ -117,16 +123,7 @@ def colorless_loss_fused_tf(model, inputs, targets,
     delay, and mixing-matrix parameters through the kernel's VJP)."""
     from flamo_tpu.ops.pallas_solve import pallas_fdn_tf
 
-    core = model.get_core()
-    loop = core.feedback_loop
-    M = model.nfft // 2 + 1
-    kD, D = loop.feedforward.matrix_response()
-    assert kD == "diag", "fused tf needs a diagonal feedforward"
-    D = jnp.broadcast_to(D, (M, D.shape[-1]))
-    U = jnp.real(loop.feedback.matrix_response()[1])
-    b = jnp.real(core.input_gain.matrix_response()[1])[:, 0]
-    c = jnp.real(core.output_gain.matrix_response()[1])[0, :]
-    tf = pallas_fdn_tf(D, U, b, c)
+    tf = pallas_fdn_tf(*extract_siso_tf_operands(model))
 
     X = jnp.fft.rfft(inputs, n=model.nfft, axis=1)
     est = jnp.abs(tf[None, :, None] * X)
