@@ -155,7 +155,11 @@ class mse_loss:
 
     def __call__(self, y_pred, y_true):
         y_pred_sum = jnp.sum(y_pred, axis=-1)
-        return jnp.mean((y_pred_sum - jnp.squeeze(y_true, axis=-1)) ** 2)
+        # torch.squeeze(y_true, dim=-1) silently no-ops when the last dim
+        # is not 1; jnp.squeeze would raise, so mirror the torch semantics.
+        if y_true.shape[-1] == 1:
+            y_true = jnp.squeeze(y_true, axis=-1)
+        return jnp.mean((y_pred_sum - y_true) ** 2)
 
 
 class masked_mse_loss:

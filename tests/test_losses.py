@@ -131,6 +131,23 @@ def test_sparsity_loss_extremes():
     assert v_id == pytest.approx(1.0, abs=1e-5)
 
 
+def test_mse_loss_multi_channel_target_no_squeeze():
+    """torch.squeeze(y_true, dim=-1) is a silent no-op when the last dim
+    is not 1 (reference loss.py:66-103); the jnp version must not raise.
+    With matching pred/target shapes the channel-summed pred broadcasts
+    against the unsqueezed target exactly as in torch."""
+    mse = L.mse_loss()
+    # unit last dim: squeezed, classic channel-sum semantics
+    y = jnp.ones((2, 8, 1))
+    t = jnp.zeros((2, 8, 1))
+    assert float(mse(y, t)) == pytest.approx(1.0)
+    # non-unit last dim: target stays (B, M, C); sum over pred channels
+    # broadcasts against it (torch semantics, verified vs the reference)
+    y2 = jnp.ones((2, 8, 1, 3))
+    t2 = jnp.zeros((2, 8, 3))
+    assert float(mse(y2, t2)) == pytest.approx(9.0)  # torch gives 9.0 too
+
+
 def test_masked_mse_state_passing():
     loss = L.masked_mse_loss(nfft=128, n_samples=13, n_sets=2)
     y = jnp.ones((1, 65, 1))[..., 0]
