@@ -209,7 +209,7 @@ def measure_attenuated_fdn_steps_per_sec(k: int = 400, n_calls: int = 2,
     import optax
     from collections import OrderedDict
     import flamo_tpu
-    from flamo_tpu.core import trainable_mask
+    from flamo_tpu.core import masked_optimizer
     from flamo_tpu.processor import dsp, system
     from flamo_tpu.utils import host_eager, to_device
 
@@ -237,8 +237,7 @@ def measure_attenuated_fdn_steps_per_sec(k: int = 400, n_calls: int = 2,
         M = NFFT // 2 + 1
         x = jnp.zeros((1, NFFT, 1)).at[:, 0, :].set(1.0)
         t = jnp.ones((1, M, 1))
-        tx = optax.adam(1e-4)
-        mask = trainable_mask(m)
+        tx = masked_optimizer(optax.adam(1e-4), m)
         o = tx.init(m)
     m, o, x, t = to_device((m, o, x, t))
 
@@ -247,8 +246,6 @@ def measure_attenuated_fdn_steps_per_sec(k: int = 400, n_calls: int = 2,
 
     def step(m, o):
         loss, g = jax.value_and_grad(loss_fn)(m)
-        g = jax.tree_util.tree_map(
-            lambda gr, ms: gr if ms else jnp.zeros_like(gr), g, mask)
         up, o = tx.update(g, o, m)
         return optax.apply_updates(m, up), o, loss
 
@@ -285,7 +282,7 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3,
     import jax.numpy as jnp
     import optax
     import flamo_tpu
-    from flamo_tpu.core import trainable_mask
+    from flamo_tpu.core import masked_optimizer
     from flamo_tpu.models import build_active_acoustics
     from flamo_tpu.utils import host_eager
 
@@ -305,8 +302,7 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3,
         target = jnp.ones((1, M, 4))
         from flamo_tpu.processor import dsp
 
-        tx = optax.adam(1e-3)
-        mask = trainable_mask(m)
+        tx = masked_optimizer(optax.adam(1e-3), m)
         opt_state = tx.init(m)
     from flamo_tpu.utils import to_device
 
@@ -321,8 +317,6 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3,
 
     def step(m, opt_state):
         loss, g = jax.value_and_grad(loss_fn)(m)
-        g = jax.tree_util.tree_map(
-            lambda gr, msk: gr if msk else jnp.zeros_like(gr), g, mask)
         updates, opt_state = tx.update(g, opt_state, m)
         return optax.apply_updates(m, updates), opt_state, loss
 

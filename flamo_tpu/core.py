@@ -172,6 +172,34 @@ def trainable_mask_children(tree):
     return _false_like(tree)
 
 
+def masked_optimizer(tx, model):
+    """Wrap an optax transform so it touches ONLY trainable leaves.
+
+    Frozen leaves (mask False) get ``optax.set_to_zero`` — zero updates,
+    NO optimizer state.  This matters beyond tidiness: plain
+    ``optax.adam`` keeps first/second moments for every leaf, so a model
+    carrying large frozen responses (``cache_delays=True`` stores
+    (M, N) re/im leaves; active-acoustics models carry multi-MB RIR
+    filters) pays moment read/write bandwidth for parameters that never
+    change — profiled at 7.6 us/step (21 MB of HBM traffic) on the
+    flagship colorless-FDN scan step, the single largest non-solve
+    kernel.  With the partition, those leaves' updates are structural
+    zeros (XLA elides the add) and their gradient chains become dead
+    code, so explicit gradient zero-masking is unnecessary too.
+
+    The zero-update semantics match the reference's ``requires_grad``
+    freezing (reference dsp.py:229,260 via torch autograd).
+    """
+    import optax
+
+    labels = jax.tree_util.tree_map(
+        lambda m: "train" if m else "freeze", trainable_mask(model))
+    # pass labels via a callable: module pytrees are themselves callable,
+    # and optax would otherwise invoke the labels tree as a label-fn
+    return optax.multi_transform(
+        {"train": tx, "freeze": optax.set_to_zero()}, lambda _: labels)
+
+
 def tree_where(mask, a, b):
     """Elementwise pytree select: leaf from ``a`` where mask else from ``b``."""
     return jax.tree_util.tree_map(

@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from flamo_tpu.core import trainable_mask
+from flamo_tpu.core import masked_optimizer
 from flamo_tpu.processor import dsp, system
 from flamo_tpu.optimize.loss import mse_loss, sparsity_loss
 from flamo_tpu.utils import next_key
@@ -136,15 +136,12 @@ def colorless_train_step(model, lr: float = 1e-3, fused_tf: bool = False):
 
     fused_tf=True swaps the forward for :func:`colorless_loss_fused_tf`
     (the register-resident transfer-function kernel)."""
-    tx = optax.adam(lr)
-    mask = trainable_mask(model)
+    tx = masked_optimizer(optax.adam(lr), model)
     opt_state = tx.init(model)
     loss_fn = colorless_loss_fused_tf if fused_tf else colorless_loss
 
     def step(model, opt_state, inputs, targets):
         loss, grads = jax.value_and_grad(loss_fn)(model, inputs, targets)
-        grads = jax.tree_util.tree_map(
-            lambda g, m: g if m else jnp.zeros_like(g), grads, mask)
         updates, opt_state = tx.update(grads, opt_state, model)
         model = optax.apply_updates(model, updates)
         return model, opt_state, loss

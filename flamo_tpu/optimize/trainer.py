@@ -20,12 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from flamo_tpu.core import trainable_mask
-
-
-def _mask_grads(grads, mask):
-    return jax.tree_util.tree_map(
-        lambda g, m: g if m else jnp.zeros_like(g), grads, mask)
+from flamo_tpu.core import masked_optimizer, trainable_mask
 
 
 class Trainer:
@@ -114,9 +109,12 @@ class Trainer:
             decay_rate=self.step_factor,
             staircase=True,
         )
-        self._tx = optax.adam(learning_rate=schedule)
-        mask = trainable_mask(self.net)
-        self._mask = mask
+        # masked_optimizer: adam state/updates exist only for trainable
+        # leaves; frozen leaves (incl. large cached responses) get
+        # structural zero updates and their grad chains dead-code away.
+        self._tx = masked_optimizer(optax.adam(learning_rate=schedule),
+                                    self.net)
+        self._mask = trainable_mask(self.net)
         self._opt_state = self._tx.init(self.net)
 
         def train_step(model, opt_state, inputs, targets, step, loss_state):
@@ -127,7 +125,6 @@ class Trainer:
 
             (total, per), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(model)
-            grads = _mask_grads(grads, mask)
             updates, opt_state = self._tx.update(grads, opt_state, model)
             model = optax.apply_updates(model, updates)
             return model, opt_state, total, per

@@ -18,7 +18,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from flamo_tpu.core import trainable_mask
+from flamo_tpu.core import masked_optimizer
 
 
 class MultiSeedEnsemble:
@@ -49,20 +49,17 @@ class MultiSeedEnsemble:
                 lambda x: jax.device_put(x, sharding)
                 if isinstance(x, jax.Array) and x.ndim >= 1 else x,
                 self.stacked)
-        self.mask = trainable_mask(self.template)
         self.losses = None
         self._run_cache = {}
 
     def _build_runner(self, loss_fn, n_steps, lr):
-        tx = optax.adam(lr)
+        tx = masked_optimizer(optax.adam(lr), self.template)
 
         def one_step(model, opt_state, inputs, targets):
             def lf(m):
                 return loss_fn(m, inputs, targets)
 
             loss, grads = jax.value_and_grad(lf)(model)
-            grads = jax.tree_util.tree_map(
-                lambda g, m: g if m else jnp.zeros_like(g), grads, self.mask)
             updates, opt_state = tx.update(grads, opt_state, model)
             model = optax.apply_updates(model, updates)
             return model, opt_state, loss

@@ -1,0 +1,129 @@
+"""Profile the colorless-FDN scan training step on the attached TPU and
+print a per-kernel time breakdown.
+
+Captures a jax.profiler trace of one jitted K-step scan call, converts it
+to a perfetto trace, and aggregates device-side event durations by kernel
+name.  Used to find the launch-overhead tail documented in CLAUDE.md
+(92 us/step at K=400: fused solve kernels ~46%, remainder ~130 small
+kernels).
+
+Usage:  python scripts/profile_scan_step.py [--solve pallas] [--k 400]
+"""
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def capture(solve_method: str, k: int, cache_delays: bool):
+    import jax
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.models import build_colorless_fdn, colorless_train_step
+    from flamo_tpu.utils import host_eager, to_device
+
+    NFFT = 96000
+    DELAYS = (887, 911, 941, 1699, 1951, 2053)
+    flamo_tpu.set_seed(130709)
+    fused_tf = solve_method == "pallas_tf"
+    with host_eager():
+        model = build_colorless_fdn(
+            nfft=NFFT, delays=DELAYS,
+            solve_method="ge_cached" if fused_tf else solve_method,
+            cache_delays=cache_delays)
+        step, opt_state = colorless_train_step(model, lr=1e-3,
+                                               fused_tf=fused_tf)
+        M = NFFT // 2 + 1
+        inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+        targets = jnp.ones((1, M, 1))
+    model, opt_state, inputs, targets = to_device(
+        (model, opt_state, inputs, targets))
+
+    def multi(model, opt_state, inputs, targets):
+        def body(carry, _):
+            m, o = carry
+            m, o, loss = step(m, o, inputs, targets)
+            return (m, o), loss
+
+        (model, opt_state), losses = jax.lax.scan(
+            body, (model, opt_state), None, length=k)
+        return model, opt_state, losses[-1]
+
+    jmulti = jax.jit(multi, donate_argnums=(0, 1))
+    model, opt_state, loss = jmulti(model, opt_state, inputs, targets)
+    jax.block_until_ready(loss)
+
+    tracedir = tempfile.mkdtemp(prefix="flamo_prof_")
+    with jax.profiler.trace(tracedir, create_perfetto_trace=True):
+        model, opt_state, loss = jmulti(model, opt_state, inputs, targets)
+        jax.block_until_ready(loss)
+    return tracedir
+
+
+def load_perfetto_events(tracedir: str):
+    paths = glob.glob(os.path.join(tracedir, "**", "*.json.gz"),
+                      recursive=True)
+    if not paths:
+        raise SystemExit(f"no perfetto trace under {tracedir}")
+    with gzip.open(paths[0], "rt") as fh:
+        trace = json.load(fh)
+    return trace["traceEvents"] if isinstance(trace, dict) else trace
+
+
+def device_kernel_rollup(events, k: int):
+    # device-side complete events live on TPU track pids; host python
+    # threads carry the jit call spans.  Identify device tracks by their
+    # process name metadata.
+    pid_names = {}
+    tid_names = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pid_names[e["pid"]] = e["args"].get("name", "")
+        if e.get("ph") == "M" and e.get("name") == "thread_name":
+            tid_names[(e["pid"], e.get("tid"))] = e["args"].get("name", "")
+    device_pids = {p for p, n in pid_names.items()
+                   if "TPU" in n or "tpu" in n or "Device" in n}
+    rollup = {}
+    total = 0.0
+    nev = 0
+    for e in events:
+        if e.get("ph") != "X" or e.get("pid") not in device_pids:
+            continue
+        tname = tid_names.get((e["pid"], e.get("tid")), "")
+        if "step" in tname.lower():  # step-markers duplicate kernel spans
+            continue
+        dur = float(e.get("dur", 0.0))
+        name = e.get("name", "?")
+        r = rollup.setdefault(name, [0.0, 0])
+        r[0] += dur
+        r[1] += 1
+        total += dur
+        nev += 1
+    print(f"device events: {nev}  total device-busy: {total:.0f} us  "
+          f"=> {total / k:.1f} us/step, {nev / k:.1f} kernels/step")
+    print(f"{'us/step':>9}  {'count/step':>10}  kernel")
+    for name, (dur, cnt) in sorted(rollup.items(), key=lambda kv: -kv[1][0])[:40]:
+        print(f"{dur / k:9.2f}  {cnt / k:10.1f}  {name[:110]}")
+    return rollup, total
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--solve", default="pallas")
+    ap.add_argument("--k", type=int, default=400)
+    ap.add_argument("--cache-delays", action="store_true", default=True)
+    args = ap.parse_args()
+    tracedir = capture(args.solve, args.k, args.cache_delays)
+    events = load_perfetto_events(tracedir)
+    device_kernel_rollup(events, args.k)
+    print("trace dir:", tracedir)
+
+
+if __name__ == "__main__":
+    main()
