@@ -120,15 +120,27 @@ def colorless_loss_fused_tf(model, inputs, targets,
     registers: per bin only D is read and one complex scalar written —
     the (M, N) loop rhs/solution of the solve-then-project path never
     exist.  Numerically the same model (gradients flow into the gain,
-    delay, and mixing-matrix parameters through the kernel's VJP)."""
+    delay, and mixing-matrix parameters through the kernel's VJP).
+
+    The loss math runs on 1-D ``(M,)`` spectra when batch == 1: the
+    (1, M, 1) singleton axes would otherwise force 8x-padded T(1,128)
+    vector layouts on every elementwise/reduce kernel in the loss chain
+    (profiled at ~9 us/step of the fused step's tail); 1-D arrays tile
+    as native T(1024) lanes.  Same values either way (mse_loss sums the
+    single channel then means over batch x bins)."""
     from flamo_tpu.ops.pallas_solve import pallas_fdn_tf
 
     tf = pallas_fdn_tf(*extract_siso_tf_operands(model))
 
-    X = jnp.fft.rfft(inputs, n=model.nfft, axis=1)
-    est = jnp.abs(tf[None, :, None] * X)
-    return _MSE(est, targets) + sparsity_weight * _SPARSITY(est, targets,
-                                                            model)
+    if inputs.shape[0] == 1 and inputs.shape[-1] == 1:
+        X = jnp.fft.rfft(inputs[0, :, 0], n=model.nfft)
+        est = jnp.abs(tf * X)
+        mse = jnp.mean((est - targets[0, :, 0]) ** 2)
+    else:
+        X = jnp.fft.rfft(inputs, n=model.nfft, axis=1)
+        est = jnp.abs(tf[None, :, None] * X)
+        mse = _MSE(est, targets)
+    return mse + sparsity_weight * _SPARSITY(est, targets, model)
 
 
 def colorless_train_step(model, lr: float = 1e-3, fused_tf: bool = False):
