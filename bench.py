@@ -546,8 +546,9 @@ def main():
         solve = "ge_cached" if args.solve == "auto" else args.solve
         # the fused kernel's ~100 us step needs a longer scan to amortize
         # the tunnel's per-dispatch latency (K sweep 2026-08-16:
-        # 7725/8864/9880/10322/10618 steps/s at K=400/800/1600/3200/6400)
-        k = 3200 if solve == "pallas" else 400
+        # post-masked-optimizer sweep 2026-08-17:
+        # 12001/12280/12459 steps/s at K=3200/6400/12800 -> K=6400
+        k = 6400 if solve == "pallas" else 400
         sps, fl = measure_jax_scan_steps_per_sec(
             k=k, solve_method=solve, cache_delays=args.cache_delays)
         print(json.dumps({"steps_per_sec": sps, "final_loss": fl}))
