@@ -77,6 +77,12 @@ def shift_matrix_static(X, shift, direction: str = "left"):
         return jnp.stack(cols, axis=1)
 
 
+# reference name (scattering.py:190-218); the TPU rewrite requires static
+# shifts, hence the canonical `_static` name — this alias keeps migrating
+# code working unchanged.
+shift_matrix = shift_matrix_static
+
+
 def poly_matrix_conv(A, B):
     """Polynomial matrix product C(z) = A(z) B(z) via FFT-domain matmuls
     (replaces the reference's triple conv1d loop, scattering.py:156-187).
