@@ -143,14 +143,47 @@ def colorless_loss_fused_tf(model, inputs, targets,
     return mse + sparsity_weight * _SPARSITY(est, targets, model)
 
 
-def colorless_train_step(model, lr: float = 1e-3, fused_tf: bool = False):
+def colorless_loss_fused_step(model, inputs, targets,
+                              sparsity_weight: float = 0.2):
+    """colorless_loss through :func:`ops.pallas_solve.pallas_fdn_tf_mse`
+    — the whole mse objective (solve, projections, |tf X|, loss AND its
+    U/b/c cotangents) in ONE Pallas grid pass; only the sparsity term
+    (a 6x6 matrix functional) stays in XLA.  Gradients flow into the
+    gain/mixing raw parameters through the kernel's stored cotangents
+    chained with the modules' maps (expm etc.) by ordinary jax.grad.
+
+    Requires the canonical single-batch SISO workload shapes
+    (inputs (1, T, 1), targets (1, M, 1)); delays may be frozen
+    (cotangent skipped in-kernel) or trainable."""
+    from flamo_tpu.ops.pallas_solve import pallas_fdn_tf_mse
+
+    if inputs.shape[0] != 1 or inputs.shape[-1] != 1:
+        raise ValueError("fused_step needs batch == channels == 1, got "
+                         f"{inputs.shape}")
+    D, U, b, c = extract_siso_tf_operands(model)
+    X = jnp.fft.rfft(inputs[0, :, 0], n=model.nfft)
+    loop = model.get_core().feedback_loop
+    ff_trainable = bool(getattr(loop.feedforward, "trainable", False))
+    mse = pallas_fdn_tf_mse(D, U, b, c, X, targets[0, :, 0],
+                            with_dbar=ff_trainable)
+    return mse + sparsity_weight * _SPARSITY(None, None, model)
+
+
+def colorless_train_step(model, lr: float = 1e-3, fused_tf: bool = False,
+                         fused_step: bool = False):
     """Build (jittable_step, opt_state) for this workload.
 
     fused_tf=True swaps the forward for :func:`colorless_loss_fused_tf`
-    (the register-resident transfer-function kernel)."""
+    (the register-resident transfer-function kernel); fused_step=True
+    for :func:`colorless_loss_fused_step` (loss AND gradients in one
+    kernel pass)."""
     tx = masked_optimizer(optax.adam(lr), model)
     opt_state = tx.init(model)
-    loss_fn = colorless_loss_fused_tf if fused_tf else colorless_loss
+    loss_fn = colorless_loss
+    if fused_step:
+        loss_fn = colorless_loss_fused_step
+    elif fused_tf:
+        loss_fn = colorless_loss_fused_tf
 
     def step(model, opt_state, inputs, targets):
         loss, grads = jax.value_and_grad(loss_fn)(model, inputs, targets)

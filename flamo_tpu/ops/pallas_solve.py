@@ -526,3 +526,188 @@ def _fdn_tf_bwd(res, tf_bar):
 
 
 pallas_fdn_tf.defvjp(_fdn_tf_fwd, _fdn_tf_bwd)
+
+
+# ---------------------------------------------------------------------------
+# fused FDN step kernel: forward solve + MSE loss + adjoint gradients in ONE
+# grid pass (no y / tf round-trip through HBM, no (1, M, 1) loss chain)
+# ---------------------------------------------------------------------------
+def _fdn_tf_mse_kernel(N: int, scale: float, with_dbar: bool,
+                       dr_ref, di_ref, u_ref, b_ref, c_ref,
+                       xr_ref, xi_ref, t_ref,
+                       loss_ref, ub_ref, bb_ref, cb_ref,
+                       *dbar_refs):
+    """One bin-tile of loss-and-gradients:
+
+        tf_m  = c^T (I - diag(D_m) U)^{-1} diag(D_m) b
+        L     = (1/M) sum_m (|tf_m X_m| - t_m)^2      (partial sums out)
+        tf_bar computed IN REGISTERS (scale = 2/M baked in), then the
+        adjoint elimination w = A^{-T} c and the U/b/c(/D) cotangents of
+        :func:`_fdn_tf_bwd_kernel` — while tf, y, and the per-bin loss
+        chain never leave the vector registers.
+
+    Cotangent convention (validated against jax.vjp): for the real loss,
+    tf_bar = dL/d(Re tf) - i dL/d(Im tf)."""
+    shape = (TILE // 128, 128)
+    A, D = _assemble_fdn(N, dr_ref, di_ref, u_ref, shape)
+    rhs = [(D[i][0] * b_ref[i, 0], D[i][1] * b_ref[i, 0])
+           for i in range(N)]
+    y = _ge_core(A, rhs, N, shape)
+
+    tfr = jnp.zeros(shape, dr_ref.dtype)
+    tfi = jnp.zeros(shape, dr_ref.dtype)
+    for i in range(N):
+        tfr = tfr + c_ref[i, 0] * y[i][0]
+        tfi = tfi + c_ref[i, 0] * y[i][1]
+
+    xr = xr_ref[0].reshape(shape)
+    xi = xi_ref[0].reshape(shape)
+    t = t_ref[0].reshape(shape)
+    zr = tfr * xr - tfi * xi
+    zi = tfr * xi + tfi * xr
+    a = jnp.sqrt(zr * zr + zi * zi)
+    diff = a - t
+    # per-bin squared error written as a vector row (Mosaic cannot store
+    # scalars to VMEM); the caller sums it
+    loss_ref[0] = (diff * diff).reshape(-1)
+    # d/dz of (|z| - t)^2, scaled; safe divide (padded bins have a = 0,
+    # diff = 0, so the select never leaks a wrong value)
+    g = scale * diff / jnp.where(a > 0.0, a, 1.0)
+    dzr = g * zr
+    dzi = g * zi
+    tb = (dzr * xr + dzi * xi, dzr * xi - dzi * xr)
+
+    zeros = jnp.zeros(shape, dr_ref.dtype)
+    At, _ = _assemble_fdn(N, dr_ref, di_ref, u_ref, shape, transpose=True)
+    rhs_c = [(c_ref[i, 0] + zeros, zeros) for i in range(N)]
+    w = _ge_core(At, rhs_c, N, shape)
+
+    if with_dbar:
+        Uy = []
+        for i in range(N):
+            ur = jnp.zeros(shape, dr_ref.dtype)
+            ui = jnp.zeros(shape, dr_ref.dtype)
+            for j in range(N):
+                ur = ur + u_ref[i, j] * y[j][0]
+                ui = ui + u_ref[i, j] * y[j][1]
+            Uy.append((ur, ui))
+
+    bbar_rows = []
+    cbar_rows = []
+    ubar_rows = []
+    for i in range(N):
+        bb = _cmul(tb, w[i])
+        if with_dbar:
+            db = _cmul(bb, (Uy[i][0] + b_ref[i, 0], Uy[i][1]))
+            dbar_refs[0][i] = db[0].reshape(-1)
+            dbar_refs[1][i] = db[1].reshape(-1)
+        bbD = _cmul(bb, D[i])
+        bbar_rows.append(jnp.sum(bbD[0]))
+        cbar_rows.append(jnp.sum(_cmul(tb, y[i])[0]))
+        row = []
+        for j in range(N):
+            row.append(jnp.sum(_cmul(bbD, y[j])[0]))
+        ubar_rows.append(jnp.stack(row))
+    ub_ref[0] = jnp.stack(ubar_rows)
+    bb_ref[0] = jnp.stack(bbar_rows).reshape(N, 1)
+    cb_ref[0] = jnp.stack(cbar_rows).reshape(N, 1)
+
+
+def _fdn_tf_mse_ml(dr, di, u, b, c, xr, xi, t, M_true: int,
+                   with_dbar: bool):
+    N, Mp = dr.shape
+    n_tiles = Mp // TILE
+    grid = (n_tiles,)
+    vec_spec = pl.BlockSpec((N, TILE), lambda m: (0, m),
+                            memory_space=pltpu.VMEM)
+    u_spec = pl.BlockSpec((N, N), lambda m: (0, 0),
+                          memory_space=pltpu.VMEM)
+    nv_spec = pl.BlockSpec((N, 1), lambda m: (0, 0),
+                           memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((1, TILE), lambda m: (0, m),
+                          memory_space=pltpu.VMEM)
+    out_specs = [t_spec,
+                 pl.BlockSpec((1, N, N), lambda m: (m, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, N, 1), lambda m: (m, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, N, 1), lambda m: (m, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((1, Mp), dr.dtype),
+                 jax.ShapeDtypeStruct((n_tiles, N, N), dr.dtype),
+                 jax.ShapeDtypeStruct((n_tiles, N, 1), dr.dtype),
+                 jax.ShapeDtypeStruct((n_tiles, N, 1), dr.dtype)]
+    if with_dbar:
+        out_specs += [vec_spec, vec_spec]
+        out_shape += [jax.ShapeDtypeStruct((N, Mp), dr.dtype)] * 2
+    return pl.pallas_call(
+        partial(_fdn_tf_mse_kernel, N, 2.0 / M_true, with_dbar),
+        grid=grid,
+        in_specs=[vec_spec, vec_spec, u_spec, nv_spec, nv_spec,
+                  t_spec, t_spec, t_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(dr, di, u, b, c, xr, xi, t)
+
+
+def _pad_row(v, Mp):
+    pad = Mp - v.shape[-1]
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros((pad,), v.dtype)])
+    return v[None, :]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fdn_tf_mse(with_dbar, D, U, b, c, X, t):
+    loss, _ = _fdn_tf_mse_fwd(with_dbar, D, U, b, c, X, t)
+    return loss
+
+
+def _fdn_tf_mse_fwd(with_dbar, D, U, b, c, X, t):
+    dr, di, u, b2, c2, M, Mp = _fdn_tf_prep(D, U, b, c)
+    rdtype = dr.dtype
+    xr = _pad_row(jnp.real(X).astype(rdtype), Mp)
+    xi = _pad_row(jnp.imag(X).astype(rdtype), Mp)
+    tp = _pad_row(t.astype(rdtype), Mp)
+    outs = _fdn_tf_mse_ml(dr, di, u, b2, c2, xr, xi, tp, M, with_dbar)
+    lp, ub, bb, cb = outs[:4]
+    loss = jnp.sum(lp) / M
+    U_bar = jnp.sum(ub, axis=0).astype(U.dtype)
+    b_bar = jnp.sum(bb, axis=0)[:, 0].astype(b.dtype)
+    c_bar = jnp.sum(cb, axis=0)[:, 0].astype(c.dtype)
+    if with_dbar:
+        dbr, dbi = outs[4], outs[5]
+        D_bar = jnp.transpose(dbr + 1j * dbi, (1, 0))[:M]
+    else:
+        D_bar = jnp.zeros_like(D)
+    return loss, (D_bar, U_bar, b_bar, c_bar, X, t)
+
+
+def _fdn_tf_mse_bwd(with_dbar, res, g):
+    D_bar, U_bar, b_bar, c_bar, X, t = res
+    return (g * D_bar, g * U_bar, g * b_bar, g * c_bar,
+            jnp.zeros_like(X), jnp.zeros_like(t))
+
+
+_fdn_tf_mse.defvjp(_fdn_tf_mse_fwd, _fdn_tf_mse_bwd)
+
+
+def pallas_fdn_tf_mse(D, U, b, c, X, t, with_dbar: bool = True):
+    """Fused training-step kernel: the scalar
+
+        L = (1/M) sum_m (|tf_m X_m| - t_m)^2,
+        tf_m = c^T (I - diag(D_m) U)^{-1} diag(D_m) b
+
+    with its gradients w.r.t. D, U, b, c computed in the SAME grid pass
+    (forward elimination, in-register loss cotangent, adjoint
+    elimination).  Versus `pallas_fdn_tf` + an XLA loss, this removes
+    the y (M, N) and tf (M,) HBM round-trips between forward and
+    backward and the whole per-bin loss chain.
+
+    Differentiable in D, U, b, c only — the X (input spectrum) and t
+    (target magnitude) cotangents are returned as zeros (they are data
+    in every training use).  with_dbar=False skips computing/storing the
+    (M, N) D cotangent (delays frozen, e.g. cache_delays models) and
+    returns zeros for it."""
+    return _fdn_tf_mse(with_dbar, D, U, b, c, X, t)

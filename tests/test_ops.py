@@ -476,3 +476,70 @@ def test_colorless_fused_tf_loss_matches(pallas_interpret):
         d = float(jnp.abs(a - bb).max())
         s = max(1e-9, float(jnp.abs(a).max()))
         assert d / s < 5e-3
+
+
+def test_pallas_fdn_tf_mse(pallas_interpret):
+    """Fused step kernel: loss value AND all four cotangents vs the dense
+    formula; with_dbar=False zeroes only the D cotangent."""
+    ps = pallas_interpret
+    rng = np.random.default_rng(41)
+    M, N = 300, 3
+    D = jnp.asarray((0.8 * np.exp(
+        1j * rng.uniform(0, 2 * np.pi, (M, N)))).astype(np.complex64))
+    U = jnp.asarray(np.linalg.qr(rng.normal(size=(N, N)))[0]
+                    .astype(np.float32))
+    b = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    X = jnp.asarray((rng.normal(size=M)
+                     + 1j * rng.normal(size=M)).astype(np.complex64))
+    t = jnp.asarray(rng.uniform(size=M).astype(np.float32))
+
+    def loss_p(D, U, b, c):
+        return ps.pallas_fdn_tf_mse(D, U, b, c, X, t, with_dbar=True)
+
+    def loss_ref(D, U, b, c):
+        A = (jnp.eye(N, dtype=jnp.complex64)[None]
+             - D[:, :, None] * U[None].astype(jnp.complex64))
+        rhs = D * b.astype(jnp.complex64)
+        y = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+        tf = jnp.sum(y * c, -1)
+        return jnp.mean((jnp.abs(tf * X) - t) ** 2)
+
+    lp = float(jax.jit(loss_p)(D, U, b, c))
+    lr = float(jax.jit(loss_ref)(D, U, b, c))
+    assert abs(lp - lr) / abs(lr) < 1e-5
+    gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2, 3)))(D, U, b, c)
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3)))(D, U, b, c)
+    for a, bb in zip(gp, gr):
+        assert float(jnp.abs(a - bb).max() / jnp.abs(bb).max()) < 2e-3
+    g0 = jax.jit(jax.grad(
+        lambda D, U, b, c: ps.pallas_fdn_tf_mse(D, U, b, c, X, t,
+                                                with_dbar=False),
+        argnums=(0, 1)))(D, U, b, c)
+    assert bool(jnp.all(g0[0] == 0))
+    assert float(jnp.abs(g0[1] - gp[1]).max()) == 0.0
+
+
+def test_colorless_fused_step_loss_matches(pallas_interpret):
+    """The model-level fused-step loss (loss+grads in one kernel pass)
+    matches the standard colorless loss and its gradients."""
+    import flamo_tpu
+    from flamo_tpu.models import build_colorless_fdn
+    from flamo_tpu.models.colorless_fdn import (colorless_loss,
+                                                colorless_loss_fused_step)
+
+    flamo_tpu.set_seed(12)
+    m = build_colorless_fdn(nfft=512, delays=(89, 97, 107, 113))
+    M = 512 // 2 + 1
+    x = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, 1))
+    l1 = float(jax.jit(colorless_loss)(m, x, t))
+    l2 = float(jax.jit(colorless_loss_fused_step)(m, x, t))
+    assert abs(l1 - l2) / abs(l1) < 1e-4
+    g1 = jax.jit(jax.grad(colorless_loss))(m, x, t)
+    g2 = jax.jit(jax.grad(colorless_loss_fused_step))(m, x, t)
+    for a, bb in zip(jax.tree_util.tree_leaves(g1),
+                     jax.tree_util.tree_leaves(g2)):
+        d = float(jnp.abs(a - bb).max())
+        s = max(1e-9, float(jnp.abs(a).max()))
+        assert d / s < 5e-3
