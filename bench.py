@@ -481,14 +481,16 @@ def pallas_forward_gate():
         m, x, t = to_device((m, x, t))
         losses[method] = float(jax.jit(colorless_loss)(m, x, t))
         if method == "ge_cached":
-            # fused-step kernel parity on the SAME build: loss value here,
+            # fused-kernel parity on the SAME build: loss values here,
             # gradient parity is pinned by the CPU test suite
             from flamo_tpu.models.colorless_fdn import (
-                colorless_loss_fused_step)
+                colorless_loss_fused_step, colorless_loss_fused_tf)
 
             losses["pallas_step"] = float(
                 jax.jit(colorless_loss_fused_step)(m, x, t))
-    for cand in ("pallas", "pallas_step"):
+            losses["pallas_tf"] = float(
+                jax.jit(colorless_loss_fused_tf)(m, x, t))
+    for cand in ("pallas", "pallas_step", "pallas_tf"):
         rel = (abs(losses[cand] - losses["ge_cached"])
                / max(1e-9, abs(losses["ge_cached"])))
         if rel > 1e-3:
@@ -551,10 +553,17 @@ def main():
                          "carried leaves)")
     ap.add_argument("--scan-only", action="store_true",
                     help=argparse.SUPPRESS)
+    ap.add_argument("--ensemble-only", type=str, default=None,
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
 
+    if args.ensemble_only is not None:
+        v = measure_ensemble_steps_per_sec(solve_method=args.ensemble_only)
+        print(json.dumps({"model_steps_per_sec": v}))
+        return
+
     if args.scan_only:
-        if args.solve in ("pallas", "pallas_step"):
+        if args.solve.startswith("pallas"):
             pallas_forward_gate()  # nonzero exit on mismatch -> fallback
         solve = "ge_cached" if args.solve == "auto" else args.solve
         # the fused kernel's ~100 us step needs a longer scan to amortize
@@ -571,13 +580,13 @@ def main():
     fallback_note = None
     solve_used = args.solve
     steps_per_sec = final_loss = None
-    if args.solve in ("auto", "pallas", "pallas_step"):
+    if args.solve in ("auto", "pallas", "pallas_step", "pallas_tf"):
         # auto tries the fused STEP kernel (loss+grads in one pass) first,
         # then the fused solve kernel; one retry each — with the
         # persistent compile cache warm, a retry after a transient flaky
         # phase is cheap
-        candidates = (["pallas_step", "pallas"] if args.solve == "auto"
-                      else [args.solve])
+        candidates = (["pallas_step", "pallas_tf", "pallas"]
+                      if args.solve == "auto" else [args.solve])
         res = err = None
         for cand in candidates:
             for timeout in (args.timeout, args.timeout // 2):
@@ -594,9 +603,8 @@ def main():
             fallback_note += "; fell back to ge_cached"
             solve_used = "ge_cached"
     if steps_per_sec is None:
-        solve = (args.solve
-                 if args.solve not in ("auto", "pallas", "pallas_step")
-                 else "ge_cached")
+        solve = ("ge_cached" if args.solve == "auto"
+                 or args.solve.startswith("pallas") else args.solve)
         solve_used = solve
         k = 6400 if solve.startswith("pallas") else 400
         try:
@@ -635,15 +643,32 @@ def main():
         # goes through slow phases (measured 70x on the ensemble metric
         # while latency-bound controls held) — throughput metrics take
         # the best of two runs so one bad phase doesn't land in the table
+        # ensembles in a FRESH SUBPROCESS: running them after any other
+        # metric in the same process degrades them ~60x (reproduced
+        # deterministically — in-process backend state, not tunnel phase)
+        import subprocess
+        import sys
+
+        def _ensemble_subprocess(method):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--ensemble-only", method]
+            out = subprocess.run(cmd, capture_output=True, text=True,
+                                 timeout=args.timeout)
+            for line in reversed(out.stdout.strip().splitlines()):
+                try:
+                    return json.loads(line)["model_steps_per_sec"]
+                except (json.JSONDecodeError, KeyError):
+                    continue
+            raise RuntimeError(out.stderr.strip()[-60:])
+
         for name, fn, reps in [
+            ("ensemble8_model_steps_per_sec",
+             lambda: _ensemble_subprocess("ge_cached"), 2),
+            ("ensemble8_pallas_model_steps_per_sec",
+             lambda: _ensemble_subprocess("pallas"), 2),
             ("single_dispatch_steps_per_sec",
              lambda: measure_jax_steps_per_sec(args.steps)[0], 1),
             ("freq_response_evals_per_sec", measure_jax_evals_per_sec, 1),
-            ("ensemble8_model_steps_per_sec",
-             measure_ensemble_steps_per_sec, 2),
-            ("ensemble8_pallas_model_steps_per_sec",
-             lambda: measure_ensemble_steps_per_sec(solve_method="pallas"),
-             2),
             ("attenuated_fdn_steps_per_sec",
              measure_attenuated_fdn_steps_per_sec, 2),
             ("active_acoustics_steps_per_sec",
