@@ -87,16 +87,16 @@ def measure_jax_scan_steps_per_sec(k: int = 400, n_calls: int = 2,
 
     flamo_tpu.set_seed(130709)
     fused_tf = solve_method == "pallas_tf"
-    fused_step = solve_method == "pallas_step"
+    fused_step = solve_method in ("pallas_step", "pallas_step_np")
     with host_eager():
         model = build_colorless_fdn(
             nfft=NFFT, delays=DELAYS,
             solve_method="ge_cached" if (fused_tf or fused_step)
             else solve_method,
             cache_delays=cache_delays)
-        step, opt_state = colorless_train_step(model, lr=1e-3,
-                                               fused_tf=fused_tf,
-                                               fused_step=fused_step)
+        step, opt_state = colorless_train_step(
+            model, lr=1e-3, fused_tf=fused_tf, fused_step=fused_step,
+            step_pivot=solve_method != "pallas_step_np")
         M = NFFT // 2 + 1
         inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
         targets = jnp.ones((1, M, 1))
@@ -488,9 +488,12 @@ def pallas_forward_gate():
 
             losses["pallas_step"] = float(
                 jax.jit(colorless_loss_fused_step)(m, x, t))
+            losses["pallas_step_np"] = float(jax.jit(
+                lambda m, x, t: colorless_loss_fused_step(
+                    m, x, t, pivot=False))(m, x, t))
             losses["pallas_tf"] = float(
                 jax.jit(colorless_loss_fused_tf)(m, x, t))
-    for cand in ("pallas", "pallas_step", "pallas_tf"):
+    for cand in ("pallas", "pallas_step", "pallas_step_np", "pallas_tf"):
         rel = (abs(losses[cand] - losses["ge_cached"])
                / max(1e-9, abs(losses["ge_cached"])))
         if rel > 1e-3:
@@ -533,7 +536,7 @@ def main():
     ap.add_argument("--solve", type=str, default="auto",
                     choices=["auto", "ge_cached", "ge", "ge_nopivot",
                              "ge_mat", "pallas", "pallas_tf",
-                             "pallas_step", "lu"],
+                             "pallas_step", "pallas_step_np", "lu"],
                     help="solve kernel for the scan bench.  'auto' "
                          "(default) tries the fused FDN Mosaic kernel in a "
                          "gated subprocess (forward-parity check + hard "
@@ -580,12 +583,13 @@ def main():
     fallback_note = None
     solve_used = args.solve
     steps_per_sec = final_loss = None
-    if args.solve in ("auto", "pallas", "pallas_step", "pallas_tf"):
+    if args.solve == "auto" or args.solve.startswith("pallas"):
         # auto tries the fused STEP kernel (loss+grads in one pass) first,
         # then the fused solve kernel; one retry each — with the
         # persistent compile cache warm, a retry after a transient flaky
         # phase is cheap
-        candidates = (["pallas_step", "pallas_tf", "pallas"]
+        candidates = (["pallas_step_np", "pallas_step", "pallas_tf",
+                       "pallas"]
                       if args.solve == "auto" else [args.solve])
         res = err = None
         for cand in candidates:

@@ -144,7 +144,8 @@ def colorless_loss_fused_tf(model, inputs, targets,
 
 
 def colorless_loss_fused_step(model, inputs, targets,
-                              sparsity_weight: float = 0.2):
+                              sparsity_weight: float = 0.2,
+                              pivot: bool = True):
     """colorless_loss through :func:`ops.pallas_solve.pallas_fdn_tf_mse`
     — the whole mse objective (solve, projections, |tf X|, loss AND its
     U/b/c cotangents) in ONE Pallas grid pass; only the sparsity term
@@ -165,23 +166,29 @@ def colorless_loss_fused_step(model, inputs, targets,
     loop = model.get_core().feedback_loop
     ff_trainable = bool(getattr(loop.feedforward, "trainable", False))
     mse = pallas_fdn_tf_mse(D, U, b, c, X, targets[0, :, 0],
-                            with_dbar=ff_trainable)
+                            with_dbar=ff_trainable, pivot=pivot)
     return mse + sparsity_weight * _SPARSITY(None, None, model)
 
 
 def colorless_train_step(model, lr: float = 1e-3, fused_tf: bool = False,
-                         fused_step: bool = False):
+                         fused_step: bool = False,
+                         step_pivot: bool = True):
     """Build (jittable_step, opt_state) for this workload.
 
     fused_tf=True swaps the forward for :func:`colorless_loss_fused_tf`
     (the register-resident transfer-function kernel); fused_step=True
     for :func:`colorless_loss_fused_step` (loss AND gradients in one
-    kernel pass)."""
+    kernel pass; step_pivot=False additionally drops the pivoting and
+    reuses the forward factors for the adjoint — gate on a finite-loss
+    check)."""
     tx = masked_optimizer(optax.adam(lr), model)
     opt_state = tx.init(model)
     loss_fn = colorless_loss
     if fused_step:
-        loss_fn = colorless_loss_fused_step
+        import functools
+
+        loss_fn = functools.partial(colorless_loss_fused_step,
+                                    pivot=step_pivot)
     elif fused_tf:
         loss_fn = colorless_loss_fused_tf
 

@@ -532,7 +532,48 @@ pallas_fdn_tf.defvjp(_fdn_tf_fwd, _fdn_tf_bwd)
 # fused FDN step kernel: forward solve + MSE loss + adjoint gradients in ONE
 # grid pass (no y / tf round-trip through HBM, no (1, M, 1) loss chain)
 # ---------------------------------------------------------------------------
-def _fdn_tf_mse_kernel(N: int, scale: float, with_dbar: bool,
+def _ge_core_nopivot_factors(A, b, N):
+    """In-place elimination WITHOUT pivoting; returns (y, L) and leaves
+    the upper triangle of A as U — so the caller can solve the
+    TRANSPOSED system by two substitutions instead of a second
+    elimination (A^T = U^T L^T).  Valid for loop matrices whose leading
+    pivots stay away from zero (the stable-FDN case; callers gate on a
+    finite-loss check like solve_method='ge_nopivot')."""
+    for k in range(N):
+        for i in range(k + 1, N):
+            f = _cdiv(A[i][k], A[k][k])
+            A[i][k] = f  # store the multiplier in the emptied slot
+            for j in range(k + 1, N):
+                A[i][j] = _csub(A[i][j], _cmul(f, A[k][j]))
+            b[i] = _csub(b[i], _cmul(f, b[k]))
+    y = [None] * N
+    for i in range(N - 1, -1, -1):
+        acc = b[i]
+        for j in range(i + 1, N):
+            acc = _csub(acc, _cmul(A[i][j], y[j]))
+        y[i] = _cdiv(acc, A[i][i])
+    return y
+
+
+def _transpose_solve_from_factors(A, c, N):
+    """Solve (L U)^T w = c from the factors left in A by
+    :func:`_ge_core_nopivot_factors` (U upper incl. diagonal, unit-L
+    multipliers below): U^T z = c by forward substitution, then
+    L^T w = z by back substitution."""
+    z = [None] * N
+    for i in range(N):
+        acc = c[i]
+        for j in range(i):
+            acc = _csub(acc, _cmul(A[j][i], z[j]))
+        z[i] = _cdiv(acc, A[i][i])
+    w = [None] * N
+    for i in range(N - 1, -1, -1):
+        acc = z[i]
+        for j in range(i + 1, N):
+            acc = _csub(acc, _cmul(A[j][i], w[j]))
+        w[i] = acc
+    return w
+def _fdn_tf_mse_kernel(N: int, scale: float, with_dbar: bool, pivot: bool,
                        dr_ref, di_ref, u_ref, b_ref, c_ref,
                        xr_ref, xi_ref, t_ref,
                        loss_ref, ub_ref, bb_ref, cb_ref,
@@ -552,7 +593,10 @@ def _fdn_tf_mse_kernel(N: int, scale: float, with_dbar: bool,
     A, D = _assemble_fdn(N, dr_ref, di_ref, u_ref, shape)
     rhs = [(D[i][0] * b_ref[i, 0], D[i][1] * b_ref[i, 0])
            for i in range(N)]
-    y = _ge_core(A, rhs, N, shape)
+    if pivot:
+        y = _ge_core(A, rhs, N, shape)
+    else:
+        y = _ge_core_nopivot_factors(A, rhs, N)
 
     tfr = jnp.zeros(shape, dr_ref.dtype)
     tfi = jnp.zeros(shape, dr_ref.dtype)
@@ -578,9 +622,16 @@ def _fdn_tf_mse_kernel(N: int, scale: float, with_dbar: bool,
     tb = (dzr * xr + dzi * xi, dzr * xi - dzi * xr)
 
     zeros = jnp.zeros(shape, dr_ref.dtype)
-    At, _ = _assemble_fdn(N, dr_ref, di_ref, u_ref, shape, transpose=True)
     rhs_c = [(c_ref[i, 0] + zeros, zeros) for i in range(N)]
-    w = _ge_core(At, rhs_c, N, shape)
+    if pivot:
+        At, _ = _assemble_fdn(N, dr_ref, di_ref, u_ref, shape,
+                              transpose=True)
+        w = _ge_core(At, rhs_c, N, shape)
+    else:
+        # A still holds the forward L/U factors: two substitutions
+        # replace the whole second elimination (and both passes skip the
+        # pivot search entirely)
+        w = _transpose_solve_from_factors(A, rhs_c, N)
 
     if with_dbar:
         Uy = []
@@ -614,7 +665,7 @@ def _fdn_tf_mse_kernel(N: int, scale: float, with_dbar: bool,
 
 
 def _fdn_tf_mse_ml(dr, di, u, b, c, xr, xi, t, M_true: int,
-                   with_dbar: bool):
+                   with_dbar: bool, pivot: bool):
     N, Mp = dr.shape
     n_tiles = Mp // TILE
     grid = (n_tiles,)
@@ -641,7 +692,7 @@ def _fdn_tf_mse_ml(dr, di, u, b, c, xr, xi, t, M_true: int,
         out_specs += [vec_spec, vec_spec]
         out_shape += [jax.ShapeDtypeStruct((N, Mp), dr.dtype)] * 2
     return pl.pallas_call(
-        partial(_fdn_tf_mse_kernel, N, 2.0 / M_true, with_dbar),
+        partial(_fdn_tf_mse_kernel, N, 2.0 / M_true, with_dbar, pivot),
         grid=grid,
         in_specs=[vec_spec, vec_spec, u_spec, nv_spec, nv_spec,
                   t_spec, t_spec, t_spec],
@@ -658,19 +709,20 @@ def _pad_row(v, Mp):
     return v[None, :]
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fdn_tf_mse(with_dbar, D, U, b, c, X, t):
-    loss, _ = _fdn_tf_mse_fwd(with_dbar, D, U, b, c, X, t)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _fdn_tf_mse(with_dbar, pivot, D, U, b, c, X, t):
+    loss, _ = _fdn_tf_mse_fwd(with_dbar, pivot, D, U, b, c, X, t)
     return loss
 
 
-def _fdn_tf_mse_fwd(with_dbar, D, U, b, c, X, t):
+def _fdn_tf_mse_fwd(with_dbar, pivot, D, U, b, c, X, t):
     dr, di, u, b2, c2, M, Mp = _fdn_tf_prep(D, U, b, c)
     rdtype = dr.dtype
     xr = _pad_row(jnp.real(X).astype(rdtype), Mp)
     xi = _pad_row(jnp.imag(X).astype(rdtype), Mp)
     tp = _pad_row(t.astype(rdtype), Mp)
-    outs = _fdn_tf_mse_ml(dr, di, u, b2, c2, xr, xi, tp, M, with_dbar)
+    outs = _fdn_tf_mse_ml(dr, di, u, b2, c2, xr, xi, tp, M, with_dbar,
+                          pivot)
     lp, ub, bb, cb = outs[:4]
     loss = jnp.sum(lp) / M
     U_bar = jnp.sum(ub, axis=0).astype(U.dtype)
@@ -684,7 +736,7 @@ def _fdn_tf_mse_fwd(with_dbar, D, U, b, c, X, t):
     return loss, (D_bar, U_bar, b_bar, c_bar, X, t)
 
 
-def _fdn_tf_mse_bwd(with_dbar, res, g):
+def _fdn_tf_mse_bwd(with_dbar, pivot, res, g):
     D_bar, U_bar, b_bar, c_bar, X, t = res
     return (g * D_bar, g * U_bar, g * b_bar, g * c_bar,
             jnp.zeros_like(X), jnp.zeros_like(t))
@@ -693,7 +745,8 @@ def _fdn_tf_mse_bwd(with_dbar, res, g):
 _fdn_tf_mse.defvjp(_fdn_tf_mse_fwd, _fdn_tf_mse_bwd)
 
 
-def pallas_fdn_tf_mse(D, U, b, c, X, t, with_dbar: bool = True):
+def pallas_fdn_tf_mse(D, U, b, c, X, t, with_dbar: bool = True,
+                      pivot: bool = True):
     """Fused training-step kernel: the scalar
 
         L = (1/M) sum_m (|tf_m X_m| - t_m)^2,
@@ -709,5 +762,9 @@ def pallas_fdn_tf_mse(D, U, b, c, X, t, with_dbar: bool = True):
     (target magnitude) cotangents are returned as zeros (they are data
     in every training use).  with_dbar=False skips computing/storing the
     (M, N) D cotangent (delays frozen, e.g. cache_delays models) and
-    returns zeros for it."""
-    return _fdn_tf_mse(with_dbar, D, U, b, c, X, t)
+    returns zeros for it.  pivot=False drops the select-based partial
+    pivoting AND reuses the forward L/U factors for the adjoint system
+    (two substitutions instead of a second elimination) — valid when the
+    leading pivots stay away from zero (stable FDN loops; gate on a
+    finite-loss check like solve_method='ge_nopivot')."""
+    return _fdn_tf_mse(with_dbar, pivot, D, U, b, c, X, t)

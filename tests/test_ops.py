@@ -518,6 +518,16 @@ def test_pallas_fdn_tf_mse(pallas_interpret):
         argnums=(0, 1)))(D, U, b, c)
     assert bool(jnp.all(g0[0] == 0))
     assert float(jnp.abs(g0[1] - gp[1]).max()) == 0.0
+    # pivot=False: no pivoting + forward-factor reuse for the adjoint
+    lnp = float(jax.jit(lambda *a: ps.pallas_fdn_tf_mse(
+        *a, X, t, pivot=False))(D, U, b, c))
+    assert abs(lnp - lr) / abs(lr) < 1e-5
+    gnp = jax.jit(jax.grad(
+        lambda D, U, b, c: ps.pallas_fdn_tf_mse(D, U, b, c, X, t,
+                                                pivot=False),
+        argnums=(0, 1, 2, 3)))(D, U, b, c)
+    for a, bb in zip(gnp, gr):
+        assert float(jnp.abs(a - bb).max() / jnp.abs(bb).max()) < 2e-3
 
 
 def test_colorless_fused_step_loss_matches(pallas_interpret):
