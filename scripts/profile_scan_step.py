@@ -32,13 +32,16 @@ def capture(solve_method: str, k: int, cache_delays: bool):
     DELAYS = (887, 911, 941, 1699, 1951, 2053)
     flamo_tpu.set_seed(130709)
     fused_tf = solve_method == "pallas_tf"
+    fused_step = solve_method in ("pallas_step", "pallas_step_np")
     with host_eager():
         model = build_colorless_fdn(
             nfft=NFFT, delays=DELAYS,
-            solve_method="ge_cached" if fused_tf else solve_method,
+            solve_method="ge_cached" if (fused_tf or fused_step)
+            else solve_method,
             cache_delays=cache_delays)
-        step, opt_state = colorless_train_step(model, lr=1e-3,
-                                               fused_tf=fused_tf)
+        step, opt_state = colorless_train_step(
+            model, lr=1e-3, fused_tf=fused_tf, fused_step=fused_step,
+            step_pivot=solve_method != "pallas_step_np")
         M = NFFT // 2 + 1
         inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
         targets = jnp.ones((1, M, 1))
