@@ -456,49 +456,47 @@ def get_baseline(refresh: bool = False):
     return sps
 
 
-def pallas_forward_gate():
-    """On-chip forward-parity gate for the fused Pallas kernel: the loss of
-    the init colorless model must match the XLA ge_cached solve to f32
-    resolution (verified 2026-08-16: 6.533935 vs 6.5339346 on the tunnel).
-    Raises on mismatch so the --scan-only subprocess exits nonzero and the
-    caller falls back to the XLA kernel."""
+def pallas_forward_gate(candidate: str = "pallas"):
+    """On-chip forward-parity gate for ONE fused Pallas kernel: the loss
+    of the init colorless model through `candidate` must match the XLA
+    ge_cached solve to f32 resolution (verified 2026-08-16: 6.533935 vs
+    6.5339346 on the tunnel).  Gating only the kernel under test keeps
+    one broken rung from disabling the whole ladder.  Raises on mismatch
+    so the --scan-only subprocess exits nonzero and the caller moves on."""
     import jax
     import jax.numpy as jnp
     import flamo_tpu
     from flamo_tpu.models import build_colorless_fdn
-    from flamo_tpu.models.colorless_fdn import colorless_loss
+    from flamo_tpu.models.colorless_fdn import (
+        colorless_loss, colorless_loss_fused_step, colorless_loss_fused_tf)
     from flamo_tpu.utils import host_eager, to_device
 
     losses = {}
-    for method in ("ge_cached", "pallas"):
+    for method in ("ge_cached", candidate):
         flamo_tpu.set_seed(130709)  # identical init for both builds
+        solve = "ge_cached" if method.startswith("pallas_") else method
         with host_eager():
             m = build_colorless_fdn(nfft=NFFT, delays=DELAYS,
-                                    solve_method=method)
+                                    solve_method=solve)
             M = NFFT // 2 + 1
             x = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
             t = jnp.ones((1, M, 1))
         m, x, t = to_device((m, x, t))
-        losses[method] = float(jax.jit(colorless_loss)(m, x, t))
-        if method == "ge_cached":
-            # fused-kernel parity on the SAME build: loss values here,
-            # gradient parity is pinned by the CPU test suite
-            from flamo_tpu.models.colorless_fdn import (
-                colorless_loss_fused_step, colorless_loss_fused_tf)
-
-            losses["pallas_step"] = float(
-                jax.jit(colorless_loss_fused_step)(m, x, t))
-            losses["pallas_step_np"] = float(jax.jit(
-                lambda m, x, t: colorless_loss_fused_step(
-                    m, x, t, pivot=False))(m, x, t))
-            losses["pallas_tf"] = float(
-                jax.jit(colorless_loss_fused_tf)(m, x, t))
-    for cand in ("pallas", "pallas_step", "pallas_step_np", "pallas_tf"):
-        rel = (abs(losses[cand] - losses["ge_cached"])
-               / max(1e-9, abs(losses["ge_cached"])))
-        if rel > 1e-3:
-            raise RuntimeError(
-                f"{cand} forward parity failed: {losses}, rel={rel:.2e}")
+        if method == "pallas_tf":
+            fn = colorless_loss_fused_tf
+        elif method == "pallas_step":
+            fn = colorless_loss_fused_step
+        elif method == "pallas_step_np":
+            def fn(m, x, t):
+                return colorless_loss_fused_step(m, x, t, pivot=False)
+        else:
+            fn = colorless_loss
+        losses[method] = float(jax.jit(fn)(m, x, t))
+    rel = (abs(losses[candidate] - losses["ge_cached"])
+           / max(1e-9, abs(losses["ge_cached"])))
+    if rel > 1e-3:
+        raise RuntimeError(
+            f"{candidate} forward parity failed: {losses}, rel={rel:.2e}")
 
 
 def scan_bench_subprocess(solve_method: str, timeout: int):
@@ -518,12 +516,21 @@ def scan_bench_subprocess(solve_method: str, timeout: int):
     except subprocess.TimeoutExpired:
         return None, f"timeout after {timeout}s (Mosaic hang?)"
     if out.returncode == 0:
-        for line in reversed(out.stdout.strip().splitlines()):
-            try:
-                return json.loads(line), None
-            except json.JSONDecodeError:
-                continue
+        res = _last_json_line(out.stdout)
+        if res is not None:
+            return res, None
     return None, f"rc={out.returncode}: {out.stderr.strip()[-120:]}"
+
+
+def _last_json_line(stdout: str):
+    """Last parseable JSON line of a subprocess' stdout (log lines and
+    backend warnings may precede/interleave it)."""
+    for line in reversed(stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    return None
 
 
 def main():
@@ -567,7 +574,8 @@ def main():
 
     if args.scan_only:
         if args.solve.startswith("pallas"):
-            pallas_forward_gate()  # nonzero exit on mismatch -> fallback
+            # nonzero exit on mismatch -> the caller tries the next rung
+            pallas_forward_gate(args.solve)
         solve = "ge_cached" if args.solve == "auto" else args.solve
         # the fused kernel's ~100 us step needs a longer scan to amortize
         # the tunnel's per-dispatch latency (K sweep 2026-08-16:
@@ -592,6 +600,7 @@ def main():
                        "pallas"]
                       if args.solve == "auto" else [args.solve])
         res = err = None
+        notes = []
         for cand in candidates:
             for timeout in (args.timeout, args.timeout // 2):
                 res, err = scan_bench_subprocess(cand, timeout)
@@ -601,10 +610,18 @@ def main():
                 steps_per_sec = res["steps_per_sec"]
                 final_loss = res["final_loss"]
                 solve_used = cand
+                fallback_note = None  # earlier rung failures don't taint it
+                if notes:
+                    fallback_note = "; ".join(notes) + f"; used {cand}"
                 break
-            fallback_note = f"{cand} failed ({err})"
+            notes.append(f"{cand} failed ({err})")
+            if "timeout" in str(err):
+                # Mosaic-hang phases are correlated across kernels: do not
+                # burn another 4x timeout budget on the remaining rungs
+                notes.append("timeout -> skipping remaining pallas rungs")
+                break
         if res is None:
-            fallback_note += "; fell back to ge_cached"
+            fallback_note = "; ".join(notes) + "; fell back to ge_cached"
             solve_used = "ge_cached"
     if steps_per_sec is None:
         solve = ("ge_cached" if args.solve == "auto"
@@ -658,11 +675,9 @@ def main():
                    "--ensemble-only", method]
             out = subprocess.run(cmd, capture_output=True, text=True,
                                  timeout=args.timeout)
-            for line in reversed(out.stdout.strip().splitlines()):
-                try:
-                    return json.loads(line)["model_steps_per_sec"]
-                except (json.JSONDecodeError, KeyError):
-                    continue
+            res = _last_json_line(out.stdout)
+            if res is not None and "model_steps_per_sec" in res:
+                return res["model_steps_per_sec"]
             raise RuntimeError(out.stderr.strip()[-60:])
 
         for name, fn, reps in [
@@ -678,10 +693,14 @@ def main():
             ("active_acoustics_steps_per_sec",
              measure_active_acoustics_steps_per_sec, 2),
         ]:
-            try:
-                extra[name] = round(max(float(fn()) for _ in range(reps)), 3)
-            except Exception as e:  # pragma: no cover - backend flakiness
-                extra[name] = f"error: {str(e)[:60]}"
+            vals, last_err = [], None
+            for _ in range(reps):
+                try:
+                    vals.append(float(fn()))
+                except Exception as e:  # pragma: no cover - flaky backend
+                    last_err = e
+            extra[name] = (round(max(vals), 3) if vals
+                           else f"error: {str(last_err)[:60]}")
         try:
             extra.update(measure_n64_solve_ms())
         except Exception as e:  # pragma: no cover - backend flakiness

@@ -132,7 +132,8 @@ def colorless_loss_fused_tf(model, inputs, targets,
 
     tf = pallas_fdn_tf(*extract_siso_tf_operands(model))
 
-    if inputs.shape[0] == 1 and inputs.shape[-1] == 1:
+    if (inputs.shape[0] == 1 and inputs.shape[-1] == 1
+            and targets.shape[0] == 1 and targets.shape[-1] == 1):
         X = jnp.fft.rfft(inputs[0, :, 0], n=model.nfft)
         est = jnp.abs(tf * X)
         mse = jnp.mean((est - targets[0, :, 0]) ** 2)
@@ -158,9 +159,10 @@ def colorless_loss_fused_step(model, inputs, targets,
     (cotangent skipped in-kernel) or trainable."""
     from flamo_tpu.ops.pallas_solve import pallas_fdn_tf_mse
 
-    if inputs.shape[0] != 1 or inputs.shape[-1] != 1:
+    if (inputs.shape[0] != 1 or inputs.shape[-1] != 1
+            or targets.shape[0] != 1 or targets.shape[-1] != 1):
         raise ValueError("fused_step needs batch == channels == 1, got "
-                         f"{inputs.shape}")
+                         f"inputs {inputs.shape}, targets {targets.shape}")
     D, U, b, c = extract_siso_tf_operands(model)
     X = jnp.fft.rfft(inputs[0, :, 0], n=model.nfft)
     loop = model.get_core().feedback_loop

@@ -1,4 +1,19 @@
 from flamo_tpu.ops.solve import gauss_solve, closed_loop_solve
-from flamo_tpu.ops.pallas_solve import (
-    pallas_fdn_solve, pallas_fdn_tf, pallas_fdn_tf_mse, pallas_gauss_solve,
-)
+
+_PALLAS_EXPORTS = ("pallas_fdn_solve", "pallas_fdn_tf", "pallas_fdn_tf_mse",
+                   "pallas_gauss_solve")
+
+
+def __getattr__(name):
+    # lazy: importing the Pallas kernels pulls in jax.experimental.pallas
+    # (+ Mosaic); defer it so `import flamo_tpu` stays light and a broken
+    # pallas import only breaks the pallas code paths
+    if name in _PALLAS_EXPORTS:
+        from flamo_tpu.ops import pallas_solve
+
+        return getattr(pallas_solve, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_PALLAS_EXPORTS))

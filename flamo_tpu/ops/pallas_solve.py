@@ -533,9 +533,10 @@ pallas_fdn_tf.defvjp(_fdn_tf_fwd, _fdn_tf_bwd)
 # grid pass (no y / tf round-trip through HBM, no (1, M, 1) loss chain)
 # ---------------------------------------------------------------------------
 def _ge_core_nopivot_factors(A, b, N):
-    """In-place elimination WITHOUT pivoting; returns (y, L) and leaves
-    the upper triangle of A as U — so the caller can solve the
-    TRANSPOSED system by two substitutions instead of a second
+    """In-place elimination WITHOUT pivoting; returns y and leaves the
+    L/U factors in A (U in the upper triangle incl. diagonal, the unit-L
+    multipliers in the emptied subdiagonal slots) — so the caller can
+    solve the TRANSPOSED system by two substitutions instead of a second
     elimination (A^T = U^T L^T).  Valid for loop matrices whose leading
     pivots stay away from zero (the stable-FDN case; callers gate on a
     finite-loss check like solve_method='ge_nopivot')."""
@@ -573,6 +574,8 @@ def _transpose_solve_from_factors(A, c, N):
             acc = _csub(acc, _cmul(A[j][i], w[j]))
         w[i] = acc
     return w
+
+
 def _fdn_tf_mse_kernel(N: int, scale: float, with_dbar: bool, pivot: bool,
                        dr_ref, di_ref, u_ref, b_ref, c_ref,
                        xr_ref, xi_ref, t_ref,

@@ -120,7 +120,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--solve", default="pallas")
     ap.add_argument("--k", type=int, default=400)
-    ap.add_argument("--cache-delays", action="store_true", default=True)
+    ap.add_argument("--cache-delays", action=argparse.BooleanOptionalAction,
+                    default=True)
     args = ap.parse_args()
     tracedir = capture(args.solve, args.k, args.cache_delays)
     events = load_perfetto_events(tracedir)
