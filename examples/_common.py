@@ -17,7 +17,13 @@ def example_parser(**overrides):
     ap.add_argument("--samplerate", type=int,
                     default=overrides.get("samplerate", 48000))
     ap.add_argument("--device", type=str, default=None,
-                    help="'cpu' forces the CPU backend; default lets JAX pick")
+                    help="'cpu' forces the CPU backend; default lets JAX "
+                         "pick.  On tunneled/remote accelerators prefer "
+                         "'cpu': examples construct models and render "
+                         "responses eagerly, which pays a compile+transfer "
+                         "round-trip per op there (the jitted production "
+                         "path is the models/Trainer API, see "
+                         "docs/performance.md)")
     ap.add_argument("--batch_size", type=int,
                     default=overrides.get("batch_size", 1))
     ap.add_argument("--num", type=int, default=overrides.get("num", 64),
