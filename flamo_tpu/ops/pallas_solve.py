@@ -771,3 +771,193 @@ def pallas_fdn_tf_mse(D, U, b, c, X, t, with_dbar: bool = True,
     leading pivots stay away from zero (stable FDN loops; gate on a
     finite-loss check like solve_method='ge_nopivot')."""
     return _fdn_tf_mse(with_dbar, pivot, D, U, b, c, X, t)
+
+
+# ---------------------------------------------------------------------------
+# fused SOS-cascade response kernel: H(z) = prod_k B_k(z) / prod_k A_k(z)
+# ---------------------------------------------------------------------------
+def _bin_phasor(nfft: int, shape):
+    """z^{-1} = e^{-j 2 pi bin / nfft} for this grid program's bin tile,
+    computed from iota (no (M,) phasor array in HBM)."""
+    pid = pl.program_id(0)
+    # Mosaic's iota must be integer-typed; cast after combining
+    i0 = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+    i1 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+    t = (i0 * 128 + i1).astype(jnp.float32)
+    binf = jnp.float32(TILE) * pid.astype(jnp.float32) + t
+    w = (2.0 * np.pi / nfft) * binf
+    return (jnp.cos(w), -jnp.sin(w)), binf
+
+
+def _horner3(c_ref, k, n, z, P, shape):
+    """Complex Horner of the real taps c_ref[:, k, n] at z (tile pair)."""
+    out = (c_ref[P - 1, k, n] + jnp.zeros(shape, jnp.float32),
+           jnp.zeros(shape, jnp.float32))
+    for p in range(P - 2, -1, -1):
+        out = _cmul(out, z)
+        out = (out[0] + c_ref[p, k, n], out[1])
+    return out
+
+
+def _sos_cascade_fwd_kernel(P: int, K: int, N: int, nfft: int,
+                            b_ref, a_ref, hr_ref, hi_ref):
+    """One bin tile of the guarded cascade response, per channel:
+    H = prod_k B_k / prod_k A_k, eps where the denominator product is 0
+    (the _iir_guard_prods semantics).  Taps live in registers; the
+    per-section (M, K, N) responses never exist anywhere."""
+    shape = (TILE // 128, 128)
+    z, _ = _bin_phasor(nfft, shape)
+    eps = float(np.finfo(np.float32).eps)
+    for n in range(N):
+        pb = (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+        pa = (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+        for k in range(K):
+            pb = _cmul(pb, _horner3(b_ref, k, n, z, P, shape))
+            pa = _cmul(pa, _horner3(a_ref, k, n, z, P, shape))
+        den = _cabs2(pa)
+        ok = den != 0.0
+        inv = 1.0 / jnp.where(ok, den, 1.0)
+        hr = jnp.where(ok, (pb[0] * pa[0] + pb[1] * pa[1]) * inv, eps)
+        hi = jnp.where(ok, (pb[1] * pa[0] - pb[0] * pa[1]) * inv, 0.0)
+        hr_ref[n] = hr.reshape(-1)
+        hi_ref[n] = hi.reshape(-1)
+
+
+def _sos_cascade_bwd_kernel(P: int, K: int, N: int, nfft: int, M_true: int,
+                            b_ref, a_ref, gr_ref, gi_ref,
+                            bb_ref, ab_ref):
+    """Backward tile: recompute H in registers, then per band k
+        b_bar[p,k,n] =  sum_m Re(Hbar H / B_k * z^{-p})
+        a_bar[p,k,n] = -sum_m Re(Hbar H / A_k * z^{-p})
+    (partials per grid program, summed by the caller).  Contributions are
+    masked at guarded bins (prod A == 0 -> H is the eps constant, zero
+    gradient) and at the padded tail."""
+    shape = (TILE // 128, 128)
+    z, binf = _bin_phasor(nfft, shape)
+    valid = binf < float(M_true)
+    bbar_rows = []
+    abar_rows = []
+    for n in range(N):
+        pb = (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+        pa = (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+        for k in range(K):
+            pb = _cmul(pb, _horner3(b_ref, k, n, z, P, shape))
+            pa = _cmul(pa, _horner3(a_ref, k, n, z, P, shape))
+        den = _cabs2(pa)
+        ok = (den != 0.0) & valid
+        inv = 1.0 / jnp.where(den != 0.0, den, 1.0)
+        h = ((pb[0] * pa[0] + pb[1] * pa[1]) * inv,
+             (pb[1] * pa[0] - pb[0] * pa[1]) * inv)
+        g = (gr_ref[n].reshape(shape), gi_ref[n].reshape(shape))
+        t = _cmul(g, h)
+        t = (jnp.where(ok, t[0], 0.0), jnp.where(ok, t[1], 0.0))
+        z2 = _cmul(z, z)
+        for c_ref, rows, sign in ((b_ref, bbar_rows, 1.0),
+                                  (a_ref, abar_rows, -1.0)):
+            for k in range(K):
+                sec = _horner3(c_ref, k, n, z, P, shape)
+                d = _cabs2(sec)
+                okd = d > 0.0
+                invd = 1.0 / jnp.where(okd, d, 1.0)
+                # t / sec, zeroed where the section response is 0
+                tr = jnp.where(okd, (t[0] * sec[0] + t[1] * sec[1]) * invd,
+                               0.0)
+                ti = jnp.where(okd, (t[1] * sec[0] - t[0] * sec[1]) * invd,
+                               0.0)
+                ts = (tr, ti)
+                vals = [jnp.sum(tr)]
+                if P > 1:
+                    tz = _cmul(ts, z)
+                    vals.append(jnp.sum(tz[0]))
+                if P > 2:
+                    tz2 = _cmul(ts, z2)
+                    vals.append(jnp.sum(tz2[0]))
+                for p in range(3, P):
+                    tzp = _cmul(ts, _cmul(z2, z))  # pragma: no cover
+                    vals.append(jnp.sum(tzp[0]))
+                rows.append(sign * jnp.stack(vals))
+    # rows are ordered n-major, k-minor with P entries each -> (N*K, P)
+    bb_ref[0] = jnp.stack(bbar_rows)
+    ab_ref[0] = jnp.stack(abar_rows)
+
+
+def _sos_cascade_prep(b, a):
+    P, K, N = b.shape
+    return (b.astype(jnp.float32).reshape(P, K, N),
+            a.astype(jnp.float32).reshape(P, K, N), P, K, N)
+
+
+def _sos_cascade_call(b, a, nfft, M_true, backward, g=None):
+    P, K, N = b.shape
+    M = nfft // 2 + 1
+    Mp = ((M + TILE - 1) // TILE) * TILE
+    n_tiles = Mp // TILE
+    grid = (n_tiles,)
+    coef_spec = pl.BlockSpec((P, K, N), lambda m: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((N, TILE), lambda m: (0, m),
+                            memory_space=pltpu.VMEM)
+    if not backward:
+        hr, hi = pl.pallas_call(
+            partial(_sos_cascade_fwd_kernel, P, K, N, nfft),
+            grid=grid,
+            in_specs=[coef_spec, coef_spec],
+            out_specs=[vec_spec, vec_spec],
+            out_shape=[jax.ShapeDtypeStruct((N, Mp), jnp.float32)] * 2,
+            interpret=_interpret(),
+        )(b, a)
+        return jnp.transpose((hr + 1j * hi)[:, :M], (1, 0))
+    part_spec = pl.BlockSpec((1, N * K, P), lambda m: (m, 0, 0),
+                             memory_space=pltpu.VMEM)
+    gr = jnp.concatenate(
+        [jnp.real(g).T.astype(jnp.float32),
+         jnp.zeros((N, Mp - M), jnp.float32)], axis=1)
+    gi = jnp.concatenate(
+        [jnp.imag(g).T.astype(jnp.float32),
+         jnp.zeros((N, Mp - M), jnp.float32)], axis=1)
+    bb, ab = pl.pallas_call(
+        partial(_sos_cascade_bwd_kernel, P, K, N, nfft, M),
+        grid=grid,
+        in_specs=[coef_spec, coef_spec, vec_spec, vec_spec],
+        out_specs=[part_spec, part_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, N * K, P), jnp.float32)]
+        * 2,
+        interpret=_interpret(),
+    )(b, a, gr, gi)
+    # (n_tiles, N*K, P) -> (P, K, N)
+    def fold(x):
+        s = jnp.sum(x, axis=0).reshape(N, K, P)
+        return jnp.transpose(s, (2, 1, 0))
+    return fold(bb), fold(ab)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2,))
+def pallas_sos_cascade(b, a, nfft):
+    """Guarded SOS-cascade frequency response in ONE Pallas kernel:
+
+        H_n(z_m) = prod_k B_{k,n}(z_m) / prod_k A_{k,n}(z_m)
+
+    b, a: (P, K, N) real taps (any envelope pre-applied); returns
+    (M, N) complex with the `_iir_guard_prods` eps semantics.  The
+    phasor, every section response, and the running products live in
+    vector registers — the XLA cascade chain materializes ~4 (M, N)
+    intermediates per section per direction, which is what dominates
+    the attenuated-FDN step.  The VJP recomputes the cascade in-kernel
+    and reduces the (P, K, N) coefficient cotangents per tile."""
+    b, a, P, K, N = _sos_cascade_prep(b, a)
+    return _sos_cascade_call(b, a, nfft, None, backward=False)
+
+
+def _sos_cascade_vfwd(b, a, nfft):
+    return pallas_sos_cascade(b, a, nfft), (b, a)
+
+
+def _sos_cascade_vbwd(nfft, res, g):
+    b, a = res
+    b2, a2, P, K, N = _sos_cascade_prep(b, a)
+    bb, ab = _sos_cascade_call(b2, a2, nfft, None, backward=True, g=g)
+    return bb.astype(b.dtype).reshape(b.shape), \
+        ab.astype(a.dtype).reshape(a.shape)
+
+
+pallas_sos_cascade.defvjp(_sos_cascade_vfwd, _sos_cascade_vbwd)

@@ -899,9 +899,14 @@ class GEQ(Filter):
 
     def __init__(self, size=(1, 1), octave_interval=1, nfft=2**11, fs=48000,
                  map=_abs_db_map, requires_grad=False, alias_decay_db=0.0,
-                 dtype=jnp.float32, key=None):
+                 dtype=jnp.float32, key=None, cascade_backend: str = "xla"):
         from flamo_tpu.auxiliary.eq import eq_freqs
 
+        if cascade_backend not in ("xla", "pallas"):
+            raise ValueError(
+                f"cascade_backend must be 'xla' or 'pallas', got "
+                f"{cascade_backend!r}")
+        self.cascade_backend = cascade_backend
         self.octave_interval = octave_interval
         self.fs = fs
         center, shelving = eq_freqs(interval=octave_interval)
@@ -946,6 +951,17 @@ class GEQ(Filter):
         env = env.reshape((3,) + (1,) * (b.ndim - 1))
         B = poly_response(b * env, self.nfft)
         A = poly_response(a * env, self.nfft)
+        if self.cascade_backend == "pallas":
+            # one Mosaic kernel for the whole guarded cascade (+ VJP);
+            # trailing channel dims fold into the kernel's channel axis
+            from flamo_tpu.ops.pallas_solve import pallas_sos_cascade
+
+            be, ae = b * env, a * env
+            P, K = be.shape[:2]
+            chans = be.shape[2:]
+            H = pallas_sos_cascade(be.reshape(P, K, -1),
+                                   ae.reshape(P, K, -1), self.nfft)
+            return H.reshape((H.shape[0],) + chans), B, A
         return _iir_guard_prods(
             *cascade_prods(b * env, a * env, self.nfft)), B, A
 
