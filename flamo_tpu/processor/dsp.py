@@ -554,6 +554,32 @@ def _iir_eps_guard(B, A):
     return _iir_guard_prods(jnp.prod(B, axis=1), jnp.prod(A, axis=1))
 
 
+def _guarded_cascade(be, ae, nfft, backend: str = "xla"):
+    """Guarded cascade response from envelope-applied (P, K, ...) taps.
+
+    backend='xla': the fused Horner-product chain (cascade_prods);
+    backend='pallas': ONE Mosaic kernel (ops.pallas_solve.
+    pallas_sos_cascade) — phasor, sections, and products in vector
+    registers with a recompute-in-kernel VJP (1.81x on the
+    attenuated-FDN training step: 1219 -> 2203 steps/s on chip).
+    Trailing channel dims fold into the kernel's channel axis."""
+    if backend == "pallas":
+        from flamo_tpu.ops.pallas_solve import pallas_sos_cascade
+
+        P, K = be.shape[:2]
+        chans = be.shape[2:]
+        H = pallas_sos_cascade(be.reshape(P, K, -1),
+                               ae.reshape(P, K, -1), nfft)
+        return H.reshape((H.shape[0],) + chans)
+    return _iir_guard_prods(*cascade_prods(be, ae, nfft))
+
+
+def _check_cascade_backend(backend: str):
+    if backend not in ("xla", "pallas"):
+        raise ValueError(
+            f"cascade_backend must be 'xla' or 'pallas', got {backend!r}")
+
+
 def _cascade_response_guarded(b, a, gamma, nfft):
     """Guarded cascade response straight from SOS coefficients (P, K, ...):
     one fused Horner-product chain via functional.cascade_prods — no
@@ -578,9 +604,12 @@ class Biquad(Filter):
 
     def __init__(self, size=(1, 1), n_sections=1, filter_type="lowpass",
                  nfft=2**11, fs=48000, requires_grad=False,
-                 alias_decay_db=0.0, dtype=jnp.float32, key=None):
+                 alias_decay_db=0.0, dtype=jnp.float32, key=None,
+                 cascade_backend: str = "xla"):
         assert filter_type in ["lowpass", "highpass", "bandpass"], \
             "Invalid filter type"
+        _check_cascade_backend(cascade_backend)
+        self.cascade_backend = cascade_backend
         self.n_sections = n_sections
         self.filter_type = filter_type
         self.fs = fs
@@ -643,8 +672,9 @@ class Biquad(Filter):
         env = env.reshape((3,) + (1,) * (b.ndim - 1))
         B = poly_response(b * env, self.nfft)  # (M, K, ...)
         A = poly_response(a * env, self.nfft)
-        return _iir_guard_prods(
-            *cascade_prods(b * env, a * env, self.nfft)), B, A
+        return _guarded_cascade(
+            b * env, a * env, self.nfft,
+            getattr(self, "cascade_backend", "xla")), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
@@ -726,8 +756,9 @@ class SOSFilter(Filter):
         env = env.reshape((3,) + (1,) * (b.ndim - 1))
         B = poly_response(b * env, self.nfft)
         A = poly_response(a * env, self.nfft)
-        return _iir_guard_prods(
-            *cascade_prods(b * env, a * env, self.nfft)), B, A
+        return _guarded_cascade(
+            b * env, a * env, self.nfft,
+            getattr(self, "cascade_backend", "xla")), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
@@ -851,8 +882,9 @@ class SVF(Filter):
         env = env.reshape((3,) + (1,) * (b.ndim - 1))
         B = poly_response(b * env, self.nfft)
         A = poly_response(a * env, self.nfft)
-        return _iir_guard_prods(
-            *cascade_prods(b * env, a * env, self.nfft)), B, A
+        return _guarded_cascade(
+            b * env, a * env, self.nfft,
+            getattr(self, "cascade_backend", "xla")), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
@@ -902,10 +934,7 @@ class GEQ(Filter):
                  dtype=jnp.float32, key=None, cascade_backend: str = "xla"):
         from flamo_tpu.auxiliary.eq import eq_freqs
 
-        if cascade_backend not in ("xla", "pallas"):
-            raise ValueError(
-                f"cascade_backend must be 'xla' or 'pallas', got "
-                f"{cascade_backend!r}")
+        _check_cascade_backend(cascade_backend)
         self.cascade_backend = cascade_backend
         self.octave_interval = octave_interval
         self.fs = fs
@@ -951,19 +980,8 @@ class GEQ(Filter):
         env = env.reshape((3,) + (1,) * (b.ndim - 1))
         B = poly_response(b * env, self.nfft)
         A = poly_response(a * env, self.nfft)
-        if self.cascade_backend == "pallas":
-            # one Mosaic kernel for the whole guarded cascade (+ VJP);
-            # trailing channel dims fold into the kernel's channel axis
-            from flamo_tpu.ops.pallas_solve import pallas_sos_cascade
-
-            be, ae = b * env, a * env
-            P, K = be.shape[:2]
-            chans = be.shape[2:]
-            H = pallas_sos_cascade(be.reshape(P, K, -1),
-                                   ae.reshape(P, K, -1), self.nfft)
-            return H.reshape((H.shape[0],) + chans), B, A
-        return _iir_guard_prods(
-            *cascade_prods(b * env, a * env, self.nfft)), B, A
+        return _guarded_cascade(
+            b * env, a * env, self.nfft, self.cascade_backend), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
@@ -1007,8 +1025,10 @@ class PEQ(Filter):
     def __init__(self, size=(1, 1), n_bands=10, f_min=20.0, f_max=20000.0,
                  design="biquad", fs=48000, nfft=2**11, map=_identity,
                  requires_grad=False, alias_decay_db=0.0, dtype=jnp.float32,
-                 key=None):
+                 key=None, cascade_backend: str = "xla"):
         assert design in ("biquad", "svf")
+        _check_cascade_backend(cascade_backend)
+        self.cascade_backend = cascade_backend
         self.n_bands = n_bands
         self.design = design
         self.fs = fs
@@ -1118,8 +1138,9 @@ class PEQ(Filter):
         a3 = jnp.moveaxis(a * env, 1, 0)
         B = poly_response(b3, self.nfft)  # (M, n_bands, ...)
         A = poly_response(a3, self.nfft)
-        return _iir_guard_prods(
-            *cascade_prods(b3, a3, self.nfft)), B, A
+        return _guarded_cascade(
+            b3, a3, self.nfft,
+            getattr(self, "cascade_backend", "xla")), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
@@ -1232,8 +1253,9 @@ class AccurateGEQ(Filter):
         env = env.reshape((3,) + (1,) * (self.sos_b.ndim - 1))
         B = poly_response(self.sos_b * env, self.nfft)
         A = poly_response(self.sos_a * env, self.nfft)
-        return _iir_guard_prods(
-            *cascade_prods(self.sos_b * env, self.sos_a * env, self.nfft)), B, A
+        return _guarded_cascade(
+            self.sos_b * env, self.sos_a * env, self.nfft,
+            getattr(self, "cascade_backend", "xla")), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff()[0]

@@ -611,3 +611,36 @@ def test_geq_pallas_cascade_backend(pallas_interpret):
     ga = jax.grad(lambda p: loss(g1, p))(g1.param)
     gb = jax.grad(lambda p: loss(g2, p))(g1.param)
     assert float(jnp.max(jnp.abs(ga - gb)) / jnp.max(jnp.abs(ga))) < 1e-3
+
+
+def test_biquad_peq_pallas_cascade_backend(pallas_interpret):
+    """Biquad and PEQ accept cascade_backend='pallas' and match the XLA
+    backend (values ~1e-6, grads ~1e-6 for these short cascades)."""
+    import flamo_tpu
+    from flamo_tpu.processor import dsp
+
+    flamo_tpu.set_seed(2)
+    b1 = dsp.Biquad(size=(2, 1), n_sections=3, filter_type="bandpass",
+                    nfft=512, fs=48000, requires_grad=True)
+    b2 = dsp.Biquad(size=(2, 1), n_sections=3, filter_type="bandpass",
+                    nfft=512, fs=48000, requires_grad=True,
+                    cascade_backend="pallas").assign_value(b1.param)
+    H1, H2 = b1.response(), b2.response()
+    assert float(jnp.max(jnp.abs(H1 - H2)) / jnp.max(jnp.abs(H1))) < 1e-5
+    g1 = jax.grad(lambda p: jnp.sum(
+        jnp.abs(b1.assign_value(p).response()) ** 2))(b1.param)
+    g2 = jax.grad(lambda p: jnp.sum(
+        jnp.abs(b2.assign_value(p).response()) ** 2))(b1.param)
+    assert float(jnp.max(jnp.abs(g1 - g2)) / jnp.max(jnp.abs(g1))) < 1e-4
+
+    p1 = dsp.PEQ(size=(1, 1), n_bands=4, nfft=512, fs=48000,
+                 requires_grad=True)
+    p2 = dsp.PEQ(size=(1, 1), n_bands=4, nfft=512, fs=48000,
+                 requires_grad=True,
+                 cascade_backend="pallas").assign_value(p1.param)
+    Hp1, Hp2 = p1.response(), p2.response()
+    assert float(jnp.max(jnp.abs(Hp1 - Hp2)) / jnp.max(jnp.abs(Hp1))) < 1e-5
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        dsp.Biquad(cascade_backend="bogus")
