@@ -607,6 +607,10 @@ def main():
                 res, err = scan_bench_subprocess(cand, timeout)
                 if res is not None:
                     break
+                if "timeout" not in str(err):
+                    # nonzero exit (e.g. parity-gate failure) is
+                    # deterministic — don't burn another compile retrying
+                    break
             if res is not None:
                 steps_per_sec = res["steps_per_sec"]
                 final_loss = res["final_loss"]

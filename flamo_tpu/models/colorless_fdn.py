@@ -115,7 +115,7 @@ def colorless_loss_fused_tf(model, inputs, targets,
 
     The colorless model is SISO around the loop (Gain(N,1) -> closed loop
     -> Gain(1,N)), so its whole frequency response is the scalar FDN
-    transfer function tf(z) = c^T (I - diag(D) U)^{-1} b.  The fused
+    transfer function tf(z) = c^T (I - diag(D) U)^{-1} diag(D) b.  The fused
     kernel assembles, solves, and applies BOTH projections in vector
     registers: per bin only D is read and one complex scalar written —
     the (M, N) loop rhs/solution of the solve-then-project path never

@@ -851,7 +851,6 @@ def _sos_cascade_bwd_kernel(P: int, K: int, N: int, nfft: int, M_true: int,
         g = (gr_ref[n].reshape(shape), gi_ref[n].reshape(shape))
         t = _cmul(g, h)
         t = (jnp.where(ok, t[0], 0.0), jnp.where(ok, t[1], 0.0))
-        z2 = _cmul(z, z)
         for c_ref, rows, sign in ((b_ref, bbar_rows, 1.0),
                                   (a_ref, abar_rows, -1.0)):
             for k in range(K):
@@ -866,15 +865,11 @@ def _sos_cascade_bwd_kernel(P: int, K: int, N: int, nfft: int, M_true: int,
                                0.0)
                 ts = (tr, ti)
                 vals = [jnp.sum(tr)]
-                if P > 1:
-                    tz = _cmul(ts, z)
-                    vals.append(jnp.sum(tz[0]))
-                if P > 2:
-                    tz2 = _cmul(ts, z2)
-                    vals.append(jnp.sum(tz2[0]))
-                for p in range(3, P):
-                    tzp = _cmul(ts, _cmul(z2, z))  # pragma: no cover
+                zp = z  # z^p, accumulated across tap orders
+                for _ in range(1, P):
+                    tzp = _cmul(ts, zp)
                     vals.append(jnp.sum(tzp[0]))
+                    zp = _cmul(zp, z)
                 rows.append(sign * jnp.stack(vals))
     # rows are ordered n-major, k-minor with P entries each -> (N*K, P)
     bb_ref[0] = jnp.stack(bbar_rows)

@@ -470,10 +470,13 @@ class Recursion(Module):
         kL, L = linop.compose(rF[0], rF[1], rB[0], rB[1])
         A = (jnp.eye(N_out, dtype=cdtype)
              - linop.materialize(kL, L.astype(cdtype), M, N_out, N_out))
-        # honor the instance's solve kernel (the pivot search alone is
-        # ~60% of a pivoted solve's cost on TPU); the fused pallas kernel
-        # is vector-rhs-only, so it maps to its XLA twin here
-        method = ("ge_cached" if self.solve_method == "pallas"
+        # The fused pallas kernel is vector-rhs-only so it cannot serve
+        # here; map it to the PIVOTED solve ('ge') rather than its
+        # no-pivot XLA twin ('ge_cached') — matrix_response is not a hot
+        # path and, unlike bench's ge_nopivot users, this call has no
+        # finite-loss gate to catch a pivotless breakdown on loops
+        # without the stable-FDN diag structure.
+        method = ("ge" if self.solve_method == "pallas"
                   else self.solve_method)
         return linop.FULL, closed_loop_solve(A, Fm, method=method)
 

@@ -590,6 +590,42 @@ def test_pallas_sos_cascade(pallas_interpret):
         assert float(jnp.max(jnp.abs(x - y)) / jnp.max(jnp.abs(x))) < 1e-4
 
 
+def test_pallas_sos_cascade_high_order(pallas_interpret):
+    """P=5 taps: the backward kernel must accumulate z^p per tap order
+    (regression for a bug that computed z^3 for every order >= 3, silently
+    corrupting coefficient cotangents of higher-order sections)."""
+    ps = pallas_interpret
+    from flamo_tpu.functional import cascade_prods
+    from flamo_tpu.processor.dsp import _iir_guard_prods
+
+    rng = np.random.default_rng(11)
+    P, K, N, nfft = 5, 2, 2, 512
+    # stable denominators: dominant a0, small higher taps
+    a = jnp.asarray(np.concatenate(
+        [np.ones((1, K, N)), 0.1 * rng.normal(size=(P - 1, K, N))]
+    ).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(P, K, N)).astype(np.float32))
+    M = nfft // 2 + 1
+    G = jnp.asarray((rng.normal(size=(M, N))
+                     + 1j * rng.normal(size=(M, N))).astype(np.complex64))
+
+    H0 = _iir_guard_prods(*cascade_prods(b, a, nfft))
+    H1 = ps.pallas_sos_cascade(b, a, nfft)
+    assert float(jnp.max(jnp.abs(H0 - H1)) / jnp.max(jnp.abs(H0))) < 1e-5
+
+    def ref(b, a):
+        return jnp.sum(jnp.real(
+            _iir_guard_prods(*cascade_prods(b, a, nfft)) * G))
+
+    def fused(b, a):
+        return jnp.sum(jnp.real(ps.pallas_sos_cascade(b, a, nfft) * G))
+
+    g0 = jax.jit(jax.grad(ref, argnums=(0, 1)))(b, a)
+    g1 = jax.jit(jax.grad(fused, argnums=(0, 1)))(b, a)
+    for x, y in zip(g0, g1):
+        assert float(jnp.max(jnp.abs(x - y)) / jnp.max(jnp.abs(x))) < 1e-4
+
+
 def test_geq_pallas_cascade_backend(pallas_interpret):
     """parallelGEQ(cascade_backend='pallas') matches the XLA backend to the
     f32 condition floor of the 12-section cascade, values and grads."""
