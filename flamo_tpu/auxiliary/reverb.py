@@ -427,9 +427,10 @@ class parallelFDNGEQ(dsp.parallelGEQ):
         return jax.random.uniform(key, self.size, dtype=self.dtype,
                                   minval=1.0, maxval=3.0)
 
-    def get_poly_coeff(self, param):
-        """Per-delay-line GEQ with RT-scaled command gains
-        (reference reverb.py:515-537)."""
+    def _envelope_coeffs(self, param):
+        """Per-delay-line GEQ SOS with the alias envelope folded in:
+        (b3, a3), each (3, bands, N) — shared by the rfft-grid response
+        and arbitrary-z probing (reference reverb.py:515-537)."""
         cf = jnp.asarray(self.center_freq, dtype=self.dtype)
         sf = jnp.asarray(self.shelving_crossover, dtype=self.dtype)
         R = jnp.asarray(2.7, dtype=self.dtype)
@@ -444,13 +445,29 @@ class parallelFDNGEQ(dsp.parallelGEQ):
         env = (jnp.asarray(self.gamma, self.dtype)
                ** jnp.arange(3, dtype=self.dtype))
         env = env.reshape((3, 1, 1))
-        B = poly_response(b * env, self.nfft)
-        A = poly_response(a * env, self.nfft)
-        return _iir_guard_prods(
-            *cascade_prods(b * env, a * env, self.nfft)), B, A
+        return b * env, a * env
+
+    def get_poly_coeff(self, param):
+        b3, a3 = self._envelope_coeffs(param)
+        B = poly_response(b3, self.nfft)
+        A = poly_response(a3, self.nfft)
+        return _iir_guard_prods(*cascade_prods(b3, a3, self.nfft)), B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
+
+    def probe(self, z):
+        """diag of the per-line RT-scaled GEQ response at arbitrary z (the
+        reference probe protocol, dsp.py:343-352).  The inherited GEQ probe
+        would re-run the band design on the raw RT60 params without the
+        delay scaling — this one shares `_envelope_coeffs` with the
+        response path."""
+        b3, a3 = self._envelope_coeffs(self.map(self.param))
+        zk = (jnp.asarray(z).astype(self.cdtype)
+              ** (-jnp.arange(3, dtype=self.dtype))).reshape(3, 1, 1)
+        num = jnp.sum(b3.astype(self.cdtype) * zk, axis=0)  # (bands, N)
+        den = jnp.sum(a3.astype(self.cdtype) * zk, axis=0)
+        return jnp.diag(jnp.prod(num / den, axis=0))
 
 
 class parallelFDNPEQ(Filter):
@@ -659,16 +676,34 @@ class parallelFirstOrderShelving(dsp.parallelFilter):
         b = jnp.stack([t * sk + 1, t * sk - 1])
         return b * 10 ** (gain_Nyq / 20), a
 
-    def get_poly_coeff(self, param):
+    def _envelope_coeffs(self, param):
+        """First-order (b, a) per delay line with the alias envelope folded
+        in, each (2, N) — shared by the response and probing."""
         b, a = self.map_param(param)
         env = (jnp.asarray(self.gamma, self.dtype)
                ** jnp.arange(2, dtype=self.dtype)).reshape(2, 1)
-        B = poly_response(b * env, self.nfft)
-        A = poly_response(a * env, self.nfft)
+        return b * env, a * env
+
+    def get_poly_coeff(self, param):
+        b2, a2 = self._envelope_coeffs(param)
+        B = poly_response(b2, self.nfft)
+        A = poly_response(a2, self.nfft)
         return B / A, B, A
 
     def response(self, ext_param=None):
         return self.get_poly_coeff(self.map(self._raw(ext_param)))[0]
+
+    def probe(self, z):
+        """diag of the per-line shelving response at arbitrary z.  The
+        inherited parallelFilter probe treats the raw (rt_DC, omega_c)
+        params as FIR taps — this one shares `_envelope_coeffs` with the
+        response path."""
+        b2, a2 = self._envelope_coeffs(self.map(self.param))
+        zk = (jnp.asarray(z).astype(self.cdtype)
+              ** (-jnp.arange(2, dtype=self.dtype))).reshape(2, 1)
+        num = jnp.sum(b2.astype(self.cdtype) * zk, axis=0)  # (N,)
+        den = jnp.sum(a2.astype(self.cdtype) * zk, axis=0)
+        return jnp.diag(num / den)
 
 
 # parallelFDNPEQ subclasses Filter (MIMO) but produces a DIAGONAL per-bin

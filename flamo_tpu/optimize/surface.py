@@ -279,6 +279,19 @@ class LossSurface(LossProfile):
                         {"loss": loss[i_run], "steps_0": s0, "steps_1": s1})
         return loss
 
+    def compute_accuracy(self, loss):
+        """2-D accuracy per Turian & Henry, arXiv:2012.04572 (reference
+        surface.py:631-655): fraction of runs where each grid point's loss
+        exceeds the loss at the (target_0, target_1) grid point.  Returns
+        (n_steps_0, n_steps_1, n_criteria)."""
+        s0 = np.asarray(self.steps_0)
+        s1 = np.asarray(self.steps_1)
+        pc0, pc1 = self.param_config
+        t0 = np.abs(s0 - pc0.target_value).argmin()
+        t1 = np.abs(s1 - pc1.target_value).argmin()
+        ref = loss[:, t0:t0 + 1, t1:t1 + 1, :]
+        return (loss > ref).astype(float).mean(axis=0)
+
     def plot_loss(self, loss: np.ndarray):
         import matplotlib
 

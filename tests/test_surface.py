@@ -68,6 +68,38 @@ def test_loss_surface_scan(tmp_path):
     assert loss.std() > 0
 
 
+def test_loss_surface_compute_accuracy_synthetic_bowl():
+    """2-D accuracy (reference surface.py:631-655): a synthetic bowl whose
+    minimum sits at the target grid point must give accuracy 1 everywhere
+    except the target itself (strict >)."""
+    model, _, _ = _setup()
+    cfg = LossConfig(
+        criteria=[mse_loss(nfft=NFFT)],
+        param_config=[
+            ParameterConfig(key="input_gain", lower_bound=-1.0,
+                            upper_bound=1.0, n_steps=5, target_value=0.0,
+                            param_map=lambda v: v * jnp.ones((6, 1))),
+            ParameterConfig(key="output_gain", lower_bound=-1.0,
+                            upper_bound=1.0, n_steps=7, target_value=0.5,
+                            param_map=lambda v: v * jnp.ones((1, 6))),
+        ],
+        n_runs=3,
+    )
+    ls = LossSurface(model, cfg)
+    s0 = np.asarray(ls.steps_0)          # target index 2 (value 0.0)
+    s1 = np.asarray(ls.steps_1)          # closest to 0.5 -> index 4
+    t0, t1 = np.abs(s0).argmin(), np.abs(s1 - 0.5).argmin()
+    loss = ((s0[None, :, None, None] - s0[t0]) ** 2
+            + (s1[None, None, :, None] - s1[t1]) ** 2
+            + np.zeros((3, 1, 1, 1)))    # perfect bowl, all runs equal
+    acc = ls.compute_accuracy(loss)
+    assert acc.shape == (5, 7, 1)
+    assert acc[t0, t1, 0] == 0.0         # strict >: target point is 0
+    mask = np.ones_like(acc, bool)
+    mask[t0, t1, 0] = False
+    assert (acc[mask] == 1.0).all()
+
+
 def test_set_raw_parameter_nested_key():
     model, x, target = _setup()
     cfg = LossConfig(
