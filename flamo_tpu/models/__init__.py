@@ -2,6 +2,10 @@ from flamo_tpu.models.colorless_fdn import (
     build_colorless_fdn, colorless_loss, colorless_loss_fused_tf,
     colorless_train_step, extract_siso_tf_operands,
 )
+from flamo_tpu.models.attenuated_fdn import (
+    attenuated_loss, attenuated_loss_fused_step, attenuated_train_step,
+    build_attenuated_fdn, extract_attenuated_operands,
+)
 from flamo_tpu.models.active_acoustics import (
     ActiveAcoustics, build_active_acoustics, gain_before_instability,
     gain_before_instability_diff, open_loop_eigenvalues, open_loop_matrix,

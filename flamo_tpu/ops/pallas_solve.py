@@ -956,3 +956,310 @@ def _sos_cascade_vbwd(nfft, res, g):
 
 
 pallas_sos_cascade.defvjp(_sos_cascade_vfwd, _sos_cascade_vbwd)
+
+
+# ---------------------------------------------------------------------------
+# fused ATTENUATED-FDN step kernel: SOS-cascade attenuation evaluated INSIDE
+# the solve + MSE loss + adjoint gradients in ONE grid pass.  This is the
+# reference's realistic FDN workload (examples/e8_fdn.py:32-184 — GEQ/PEQ
+# attenuation in the feedback path) fused the way pallas_fdn_tf_mse fused
+# the colorless one: the (M, N) attenuation response, the (M, N) rhs, y,
+# tf, and every cotangent between them stay in vector registers.
+# ---------------------------------------------------------------------------
+def _cascade_tile(b_ref, a_ref, n, z, P, K, shape):
+    """Guarded cascade response for channel n at this tile's phasor:
+    returns (Gam, pa_ok) — the response pair and the denominator-nonzero
+    mask (the _iir_guard_prods eps semantics)."""
+    pb = (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    pa = (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    for k in range(K):
+        pb = _cmul(pb, _horner3(b_ref, k, n, z, P, shape))
+        pa = _cmul(pa, _horner3(a_ref, k, n, z, P, shape))
+    den = _cabs2(pa)
+    ok = den != 0.0
+    inv = 1.0 / jnp.where(ok, den, 1.0)
+    eps = float(np.finfo(np.float32).eps)
+    gr = jnp.where(ok, (pb[0] * pa[0] + pb[1] * pa[1]) * inv, eps)
+    gi = jnp.where(ok, (pb[1] * pa[0] - pb[0] * pa[1]) * inv, 0.0)
+    return (gr, gi), ok
+
+
+def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
+                           with_dbar: bool, pivot: bool,
+                           dr_ref, di_ref, bt_ref, at_ref, u_ref,
+                           b_ref, c_ref, xr_ref, xi_ref, t_ref,
+                           loss_ref, ub_ref, bb_ref, cb_ref,
+                           tb_ref, ta_ref, *dbar_refs):
+    """One bin-tile of the attenuated-FDN loss-and-gradients:
+
+        Gam_mn = prod_k B_kn(z_m) / prod_k A_kn(z_m)      (SOS attenuation)
+        tf_m   = c^T (I - diag(D_m Gam_m) U)^{-1} diag(D_m) b
+        L      = (1/M) sum_m (|tf_m X_m| - t_m)^2
+
+    with cotangents for U, b, c, the SOS taps (and optionally D) computed
+    in the SAME pass.  The attenuation enters the LOOP MATRIX only (the
+    rhs injection is the bare delay response diag(D) b — reference FDN
+    structure: delays feed forward, mixing+attenuation feed back).
+
+    Chain (unconjugated-transpose convention, tf_bar = dL/dRe - i dL/dIm):
+        bb_i       = tf_bar w_i            with A^T w = c
+        (DGam)_bar = bb_i (U y)_i
+        Gam_bar_i  = (DGam)_bar_i D_i ,  D_bar_i = (DGam)_bar_i Gam_i
+                                                   + bb_i b_i
+        taps: t_n = Gam_bar_n Gam_n, then per section
+              b_bar[p,k,n] =  sum_m Re(t_n / B_kn z^{-p})
+              a_bar[p,k,n] = -sum_m Re(t_n / A_kn z^{-p})
+    Padded bins contribute nothing (D, X, t zero-padded => tf_bar = 0)."""
+    shape = (TILE // 128, 128)
+    z, _ = _bin_phasor(nfft, shape)
+
+    D = [(dr_ref[i].reshape(shape), di_ref[i].reshape(shape))
+         for i in range(N)]
+    Gam = []
+    Gok = []
+    for n in range(N):
+        g, ok = _cascade_tile(bt_ref, at_ref, n, z, P, K, shape)
+        Gam.append(g)
+        Gok.append(ok)
+    Dp = [_cmul(D[i], Gam[i]) for i in range(N)]
+
+    A = []
+    for i in range(N):
+        row = []
+        for j in range(N):
+            re = -Dp[i][0] * u_ref[i, j]
+            im = -Dp[i][1] * u_ref[i, j]
+            if i == j:
+                re = re + 1.0
+            row.append((re, im))
+        A.append(row)
+    rhs = [(D[i][0] * b_ref[i, 0], D[i][1] * b_ref[i, 0])
+           for i in range(N)]
+    if pivot:
+        Asolve = [list(r) for r in A]
+        y = _ge_core(Asolve, rhs, N, shape)
+    else:
+        y = _ge_core_nopivot_factors(A, rhs, N)
+
+    tfr = jnp.zeros(shape, dr_ref.dtype)
+    tfi = jnp.zeros(shape, dr_ref.dtype)
+    for i in range(N):
+        tfr = tfr + c_ref[i, 0] * y[i][0]
+        tfi = tfi + c_ref[i, 0] * y[i][1]
+
+    xr = xr_ref[0].reshape(shape)
+    xi = xi_ref[0].reshape(shape)
+    t = t_ref[0].reshape(shape)
+    zr = tfr * xr - tfi * xi
+    zi = tfr * xi + tfi * xr
+    a = jnp.sqrt(zr * zr + zi * zi)
+    diff = a - t
+    loss_ref[0] = (diff * diff).reshape(-1)
+    g = scale * diff / jnp.where(a > 0.0, a, 1.0)
+    dzr = g * zr
+    dzi = g * zi
+    tb = (dzr * xr + dzi * xi, dzr * xi - dzi * xr)
+
+    zeros = jnp.zeros(shape, dr_ref.dtype)
+    rhs_c = [(c_ref[i, 0] + zeros, zeros) for i in range(N)]
+    if pivot:
+        At = []
+        for i in range(N):
+            row = []
+            for j in range(N):
+                re = -Dp[j][0] * u_ref[j, i]
+                im = -Dp[j][1] * u_ref[j, i]
+                if i == j:
+                    re = re + 1.0
+                row.append((re, im))
+            At.append(row)
+        w = _ge_core(At, rhs_c, N, shape)
+    else:
+        w = _transpose_solve_from_factors(A, rhs_c, N)
+
+    Uy = []
+    for i in range(N):
+        ur = jnp.zeros(shape, dr_ref.dtype)
+        ui = jnp.zeros(shape, dr_ref.dtype)
+        for j in range(N):
+            ur = ur + u_ref[i, j] * y[j][0]
+            ui = ui + u_ref[i, j] * y[j][1]
+        Uy.append((ur, ui))
+
+    bbar_rows = []
+    cbar_rows = []
+    ubar_rows = []
+    tbar_rows = []
+    abar_rows = []
+    for i in range(N):
+        bb = _cmul(tb, w[i])
+        dpbar = _cmul(bb, Uy[i])
+        gambar = _cmul(dpbar, D[i])
+        if with_dbar:
+            db = _cmul(dpbar, Gam[i])
+            db = (db[0] + bb[0] * b_ref[i, 0], db[1] + bb[1] * b_ref[i, 0])
+            dbar_refs[0][i] = db[0].reshape(-1)
+            dbar_refs[1][i] = db[1].reshape(-1)
+        bbar_rows.append(jnp.sum(_cmul(bb, D[i])[0]))
+        cbar_rows.append(jnp.sum(_cmul(tb, y[i])[0]))
+        bbDp = _cmul(bb, Dp[i])
+        row = []
+        for j in range(N):
+            row.append(jnp.sum(_cmul(bbDp, y[j])[0]))
+        ubar_rows.append(jnp.stack(row))
+
+        # SOS tap cotangents for this channel (zero where the cascade
+        # denominator vanished -> the response is the eps constant)
+        tn = _cmul(gambar, Gam[i])
+        tn = (jnp.where(Gok[i], tn[0], 0.0), jnp.where(Gok[i], tn[1], 0.0))
+        for c_ref2, rows, sign in ((bt_ref, tbar_rows, 1.0),
+                                   (at_ref, abar_rows, -1.0)):
+            for k in range(K):
+                sec = _horner3(c_ref2, k, i, z, P, shape)
+                d = _cabs2(sec)
+                okd = d > 0.0
+                invd = 1.0 / jnp.where(okd, d, 1.0)
+                tr = jnp.where(okd, (tn[0] * sec[0] + tn[1] * sec[1])
+                               * invd, 0.0)
+                ti = jnp.where(okd, (tn[1] * sec[0] - tn[0] * sec[1])
+                               * invd, 0.0)
+                ts = (tr, ti)
+                vals = [jnp.sum(tr)]
+                zp = z
+                for _ in range(1, P):
+                    tzp = _cmul(ts, zp)
+                    vals.append(jnp.sum(tzp[0]))
+                    zp = _cmul(zp, z)
+                rows.append(sign * jnp.stack(vals))
+
+    ub_ref[0] = jnp.stack(ubar_rows)
+    bb_ref[0] = jnp.stack(bbar_rows).reshape(N, 1)
+    cb_ref[0] = jnp.stack(cbar_rows).reshape(N, 1)
+    # rows are ordered n-major, k-minor with P entries each -> (N*K, P)
+    tb_ref[0] = jnp.stack(tbar_rows)
+    ta_ref[0] = jnp.stack(abar_rows)
+
+
+def _fdn_sos_tf_mse_ml(dr, di, bt, at, u, b, c, xr, xi, t, nfft: int,
+                       M_true: int, with_dbar: bool, pivot: bool):
+    N, Mp = dr.shape
+    P, K, _ = bt.shape
+    n_tiles = Mp // TILE
+    grid = (n_tiles,)
+    vec_spec = pl.BlockSpec((N, TILE), lambda m: (0, m),
+                            memory_space=pltpu.VMEM)
+    coef_spec = pl.BlockSpec((P, K, N), lambda m: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    u_spec = pl.BlockSpec((N, N), lambda m: (0, 0),
+                          memory_space=pltpu.VMEM)
+    nv_spec = pl.BlockSpec((N, 1), lambda m: (0, 0),
+                           memory_space=pltpu.VMEM)
+    t_spec = pl.BlockSpec((1, TILE), lambda m: (0, m),
+                          memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((1, N * K, P), lambda m: (m, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_specs = [t_spec,
+                 pl.BlockSpec((1, N, N), lambda m: (m, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, N, 1), lambda m: (m, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 pl.BlockSpec((1, N, 1), lambda m: (m, 0, 0),
+                              memory_space=pltpu.VMEM),
+                 part_spec, part_spec]
+    out_shape = [jax.ShapeDtypeStruct((1, Mp), dr.dtype),
+                 jax.ShapeDtypeStruct((n_tiles, N, N), dr.dtype),
+                 jax.ShapeDtypeStruct((n_tiles, N, 1), dr.dtype),
+                 jax.ShapeDtypeStruct((n_tiles, N, 1), dr.dtype),
+                 jax.ShapeDtypeStruct((n_tiles, N * K, P), dr.dtype),
+                 jax.ShapeDtypeStruct((n_tiles, N * K, P), dr.dtype)]
+    if with_dbar:
+        out_specs += [vec_spec, vec_spec]
+        out_shape += [jax.ShapeDtypeStruct((N, Mp), dr.dtype)] * 2
+    return pl.pallas_call(
+        partial(_fdn_sos_tf_mse_kernel, N, K, P, nfft, 2.0 / M_true,
+                with_dbar, pivot),
+        grid=grid,
+        in_specs=[vec_spec, vec_spec, coef_spec, coef_spec, u_spec,
+                  nv_spec, nv_spec, t_spec, t_spec, t_spec],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=_interpret(),
+    )(dr, di, bt, at, u, b, c, xr, xi, t)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _fdn_sos_tf_mse(nfft, with_dbar, pivot, D, bt, at, U, b, c, X, t):
+    loss, _ = _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, D, bt, at, U,
+                                  b, c, X, t)
+    return loss
+
+
+def _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, D, bt, at, U, b, c, X, t):
+    M, N = D.shape
+    Mp = ((M + TILE - 1) // TILE) * TILE
+    pad = Mp - M
+    Dt = jnp.transpose(D, (1, 0))
+    if pad:
+        Dt = jnp.concatenate([Dt, jnp.zeros((N, pad), Dt.dtype)], axis=1)
+    rdtype = jnp.real(D).dtype
+    bt2 = bt.astype(jnp.float32)
+    at2 = at.astype(jnp.float32)
+    xr = _pad_row(jnp.real(X).astype(rdtype), Mp)
+    xi = _pad_row(jnp.imag(X).astype(rdtype), Mp)
+    tp = _pad_row(t.astype(rdtype), Mp)
+    outs = _fdn_sos_tf_mse_ml(
+        jnp.real(Dt), jnp.imag(Dt), bt2, at2, U.astype(rdtype),
+        b.astype(rdtype)[:, None], c.astype(rdtype)[:, None],
+        xr, xi, tp, nfft, M, with_dbar, pivot)
+    lp, ub, bbp, cbp, tbp, tap = outs[:6]
+    P, K, _ = bt.shape
+    loss = jnp.sum(lp) / M
+    U_bar = jnp.sum(ub, axis=0).astype(U.dtype)
+    b_bar = jnp.sum(bbp, axis=0)[:, 0].astype(b.dtype)
+    c_bar = jnp.sum(cbp, axis=0)[:, 0].astype(c.dtype)
+
+    def fold(x):
+        s = jnp.sum(x, axis=0).reshape(N, K, P)
+        return jnp.transpose(s, (2, 1, 0))
+
+    bt_bar = fold(tbp).astype(bt.dtype)
+    at_bar = fold(tap).astype(at.dtype)
+    if with_dbar:
+        dbr, dbi = outs[6], outs[7]
+        D_bar = jnp.transpose(dbr + 1j * dbi, (1, 0))[:M]
+    else:
+        D_bar = jnp.zeros_like(D)
+    return loss, (D_bar, bt_bar, at_bar, U_bar, b_bar, c_bar, X, t)
+
+
+def _fdn_sos_tf_mse_bwd(nfft, with_dbar, pivot, res, g):
+    D_bar, bt_bar, at_bar, U_bar, b_bar, c_bar, X, t = res
+    return (g * D_bar, g * bt_bar, g * at_bar, g * U_bar, g * b_bar,
+            g * c_bar, jnp.zeros_like(X), jnp.zeros_like(t))
+
+
+_fdn_sos_tf_mse.defvjp(_fdn_sos_tf_mse_fwd, _fdn_sos_tf_mse_bwd)
+
+
+def pallas_fdn_sos_tf_mse(D, bt, at, U, b, c, X, t, nfft: int,
+                          with_dbar: bool = False, pivot: bool = False):
+    """Fused attenuated-FDN training-step kernel: the scalar
+
+        L = (1/M) sum_m (|tf_m X_m| - t_m)^2,
+        tf_m = c^T (I - diag(D_m Gam_m) U)^{-1} diag(D_m) b,
+        Gam_mn = prod_k B_kn(z_m) / prod_k A_kn(z_m)
+
+    with gradients w.r.t. the SOS taps bt/at (P, K, N), U, b, c (and
+    optionally D) in ONE Pallas grid pass: the per-channel SOS-cascade
+    attenuation (reference e8_fdn's GEQ-in-the-loop, e8_fdn.py:32-184)
+    is evaluated from its taps in registers, folded into the loop
+    diagonal, solved, projected, and differentiated without the (M, N)
+    attenuation response, rhs, y, tf, or any of their cotangents
+    touching HBM.  Guard semantics match _iir_guard_prods (eps where the
+    denominator product vanishes, zero gradient there).
+
+    Differentiable in D, bt, at, U, b, c; X/t are data (zero cotangent).
+    pivot=False reuses the forward no-pivot L/U factors for the adjoint
+    (valid for stable FDN loops; gate on a finite-loss check)."""
+    return _fdn_sos_tf_mse(nfft, with_dbar, pivot, D, bt, at, U, b, c,
+                           X, t)

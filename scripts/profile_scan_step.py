@@ -1,5 +1,5 @@
-"""Profile the colorless-FDN scan training step on the attached TPU and
-print a per-kernel time breakdown.
+"""Profile a scan training step on the attached TPU and print a
+per-kernel time breakdown.
 
 Captures a jax.profiler trace of one jitted K-step scan call, converts it
 to a perfetto trace, and aggregates device-side event durations by kernel
@@ -7,7 +7,11 @@ name.  Used to find the launch-overhead tail documented in CLAUDE.md
 (92 us/step at K=400: fused solve kernels ~46%, remainder ~130 small
 kernels).
 
-Usage:  python scripts/profile_scan_step.py [--solve pallas] [--k 400]
+Workloads: 'colorless' (the flagship), 'attenuated' (e8_fdn GEQ-in-loop;
+--solve fused_np/fused selects the single-pass kernel), 'aa' (active
+acoustics 4x13 at reference scale; --solve ge/ge_cached/pallas).
+
+Usage:  python scripts/profile_scan_step.py [--workload aa] [--k 20]
 """
 
 import argparse
@@ -21,30 +25,98 @@ import tempfile
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def capture(solve_method: str, k: int, cache_delays: bool):
-    import jax
+NFFT = 96000
+DELAYS = (887, 911, 941, 1699, 1951, 2053)
+
+
+def _build_colorless(solve_method: str, cache_delays: bool):
     import jax.numpy as jnp
     import flamo_tpu
     from flamo_tpu.models import build_colorless_fdn, colorless_train_step
-    from flamo_tpu.utils import host_eager, to_device
 
-    NFFT = 96000
-    DELAYS = (887, 911, 941, 1699, 1951, 2053)
     flamo_tpu.set_seed(130709)
     fused_tf = solve_method == "pallas_tf"
     fused_step = solve_method in ("pallas_step", "pallas_step_np")
+    model = build_colorless_fdn(
+        nfft=NFFT, delays=DELAYS,
+        solve_method="ge_cached" if (fused_tf or fused_step)
+        else solve_method,
+        cache_delays=cache_delays)
+    step, opt_state = colorless_train_step(
+        model, lr=1e-3, fused_tf=fused_tf, fused_step=fused_step,
+        step_pivot=solve_method != "pallas_step_np")
+    M = NFFT // 2 + 1
+    inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    targets = jnp.ones((1, M, 1))
+    return model, step, opt_state, inputs, targets
+
+
+def _build_attenuated(solve_method: str):
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.models import build_attenuated_fdn
+    from flamo_tpu.models.attenuated_fdn import attenuated_train_step
+
+    flamo_tpu.set_seed(130709)
+    fused = solve_method in ("fused", "fused_np")
+    model = build_attenuated_fdn(
+        nfft=NFFT, delays=DELAYS,
+        solve_method="pallas" if not fused else "ge_cached",
+        cascade_backend="pallas" if not fused else "xla")
+    step, opt_state = attenuated_train_step(
+        model, lr=1e-4, fused_step=fused,
+        step_pivot=solve_method == "fused")
+    M = NFFT // 2 + 1
+    inputs = jnp.zeros((1, NFFT, 1)).at[:, 0, :].set(1.0)
+    targets = jnp.ones((1, M, 1))
+    return model, step, opt_state, inputs, targets
+
+
+def _build_aa(solve_method: str):
+    import jax
+    import jax.numpy as jnp
+    import optax
+    import flamo_tpu
+    from flamo_tpu.core import masked_optimizer
+    from flamo_tpu.models import build_active_acoustics
+
+    flamo_tpu.set_seed(130297)
+    model = build_active_acoustics(n_mics=4, n_loudspeakers=13,
+                                   rir_length=15000, fir_order=100,
+                                   nfft=NFFT, fs=48000, t60=0.5,
+                                   cache_room=False,
+                                   solve_method=solve_method)
+    M = NFFT // 2 + 1
+    inputs = jnp.zeros((1, NFFT, 13)).at[:, 0, :].set(1.0)
+    targets = jnp.ones((1, M, 4))
+    tx = masked_optimizer(optax.adam(1e-3), model)
+    opt_state = tx.init(model)
+
+    def step(m, o, x, t):
+        def loss_fn(m):
+            return jnp.mean((jnp.abs(m(x)) - t) ** 2)
+
+        loss, g = jax.value_and_grad(loss_fn)(m)
+        up, o = tx.update(g, o, m)
+        return optax.apply_updates(m, up), o, loss
+
+    return model, step, opt_state, inputs, targets
+
+
+def capture(workload: str, solve_method: str, k: int, cache_delays: bool):
+    import jax
+    from flamo_tpu.utils import host_eager, to_device
+
     with host_eager():
-        model = build_colorless_fdn(
-            nfft=NFFT, delays=DELAYS,
-            solve_method="ge_cached" if (fused_tf or fused_step)
-            else solve_method,
-            cache_delays=cache_delays)
-        step, opt_state = colorless_train_step(
-            model, lr=1e-3, fused_tf=fused_tf, fused_step=fused_step,
-            step_pivot=solve_method != "pallas_step_np")
-        M = NFFT // 2 + 1
-        inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
-        targets = jnp.ones((1, M, 1))
+        if workload == "colorless":
+            built = _build_colorless(solve_method, cache_delays)
+        elif workload == "attenuated":
+            built = _build_attenuated(solve_method)
+        elif workload == "aa":
+            built = _build_aa(solve_method)
+        else:
+            raise SystemExit(f"unknown workload {workload!r}")
+        model, step, opt_state, inputs, targets = built
     model, opt_state, inputs, targets = to_device(
         (model, opt_state, inputs, targets))
 
@@ -118,12 +190,23 @@ def device_kernel_rollup(events, k: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--solve", default="pallas")
-    ap.add_argument("--k", type=int, default=400)
+    ap.add_argument("--workload", default="colorless",
+                    choices=["colorless", "attenuated", "aa"])
+    ap.add_argument("--solve", default=None,
+                    help="colorless: pallas/pallas_tf/pallas_step[_np]/"
+                         "ge*; attenuated: fused_np/fused/pallas; "
+                         "aa: ge/ge_cached/pallas")
+    ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--cache-delays", action=argparse.BooleanOptionalAction,
                     default=True)
     args = ap.parse_args()
-    tracedir = capture(args.solve, args.k, args.cache_delays)
+    if args.solve is None:
+        args.solve = {"colorless": "pallas", "attenuated": "fused_np",
+                      "aa": "ge_cached"}[args.workload]
+    if args.k is None:
+        args.k = {"colorless": 400, "attenuated": 400, "aa": 20}[
+            args.workload]
+    tracedir = capture(args.workload, args.solve, args.k, args.cache_delays)
     events = load_perfetto_events(tracedir)
     device_kernel_rollup(events, args.k)
     print("trace dir:", tracedir)

@@ -555,6 +555,94 @@ def test_colorless_fused_step_loss_matches(pallas_interpret):
         assert d / s < 5e-3
 
 
+def test_pallas_fdn_sos_tf_mse(pallas_interpret):
+    """Fused attenuated-FDN step kernel: loss value and ALL cotangents
+    (taps, U, b, c, D) vs the dense XLA formula, both pivot modes."""
+    ps = pallas_interpret
+    rng = np.random.default_rng(43)
+    N, K, P, nfft = 3, 4, 3, 600  # M=301: exercises the padded tail
+    M = nfft // 2 + 1
+    D = jnp.asarray((0.9 * np.exp(
+        1j * rng.uniform(0, 2 * np.pi, (M, N)))).astype(np.complex64))
+    r = rng.uniform(0.2, 0.8, (K, N))
+    th = rng.uniform(0, np.pi, (K, N))
+    at = jnp.asarray(np.stack([np.ones((K, N)), -2 * r * np.cos(th),
+                               r * r]).astype(np.float32))
+    bt = jnp.asarray((0.5 * rng.normal(size=(P, K, N))
+                      + np.stack([np.ones((K, N)), np.zeros((K, N)),
+                                  np.zeros((K, N))])).astype(np.float32))
+    U = jnp.asarray((0.6 * np.linalg.qr(rng.normal(size=(N, N)))[0])
+                    .astype(np.float32))
+    b = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    c = jnp.asarray(rng.normal(size=N).astype(np.float32))
+    X = jnp.asarray((rng.normal(size=M)
+                     + 1j * rng.normal(size=M)).astype(np.complex64))
+    t = jnp.asarray(rng.uniform(size=M).astype(np.float32))
+
+    from flamo_tpu.functional import cascade_prods
+    from flamo_tpu.processor.dsp import _iir_guard_prods
+
+    def loss_ref(D, bt, at, U, b, c):
+        Gam = _iir_guard_prods(*cascade_prods(bt, at, nfft))
+        A = (jnp.eye(N, dtype=jnp.complex64)[None]
+             - (D * Gam)[:, :, None] * U[None].astype(jnp.complex64))
+        rhs = D * b.astype(jnp.complex64)
+        y = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+        tf = jnp.sum(y * c, -1)
+        return jnp.mean((jnp.abs(tf * X) - t) ** 2)
+
+    lr = float(jax.jit(loss_ref)(D, bt, at, U, b, c))
+    gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5)))(
+        D, bt, at, U, b, c)
+    for pivot in (True, False):
+        def loss_p(D, bt, at, U, b, c, pivot=pivot):
+            return ps.pallas_fdn_sos_tf_mse(D, bt, at, U, b, c, X, t,
+                                            nfft=nfft, with_dbar=True,
+                                            pivot=pivot)
+
+        lp = float(jax.jit(loss_p)(D, bt, at, U, b, c))
+        assert abs(lp - lr) / abs(lr) < 1e-5, pivot
+        gp = jax.jit(jax.grad(loss_p, argnums=(0, 1, 2, 3, 4, 5)))(
+            D, bt, at, U, b, c)
+        for i, (a_, b_) in enumerate(zip(gp, gr)):
+            rel = float(jnp.abs(a_ - b_).max() / jnp.abs(b_).max())
+            assert rel < 5e-3, (pivot, i, rel)
+    # with_dbar=False zeroes ONLY the D cotangent (tap grads agree to
+    # roundoff — the dropped outputs reorder the compiled summations)
+    g0 = jax.jit(jax.grad(
+        lambda D, bt, at, U, b, c: ps.pallas_fdn_sos_tf_mse(
+            D, bt, at, U, b, c, X, t, nfft=nfft, with_dbar=False),
+        argnums=(0, 1)))(D, bt, at, U, b, c)
+    assert bool(jnp.all(g0[0] == 0))
+    assert float(jnp.abs(g0[1] - gp[1]).max()
+                 / jnp.abs(gp[1]).max()) < 1e-5
+
+
+def test_attenuated_fused_step_loss_matches(pallas_interpret):
+    """The model-level fused attenuated-FDN step loss matches the
+    module-graph loss and its gradients (incl. through the GEQ band
+    design and the expm mixing-matrix map)."""
+    import flamo_tpu
+    from flamo_tpu.models import build_attenuated_fdn
+    from flamo_tpu.models.attenuated_fdn import (attenuated_loss,
+                                                 attenuated_loss_fused_step)
+
+    flamo_tpu.set_seed(13)
+    m = build_attenuated_fdn(nfft=512, delays=(89, 97, 107))
+    x = jnp.zeros((1, 512, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, 512 // 2 + 1, 1))
+    l1 = float(jax.jit(attenuated_loss)(m, x, t))
+    l2 = float(jax.jit(attenuated_loss_fused_step)(m, x, t))
+    assert abs(l1 - l2) / abs(l1) < 1e-4
+    g1 = jax.jit(jax.grad(attenuated_loss))(m, x, t)
+    g2 = jax.jit(jax.grad(attenuated_loss_fused_step))(m, x, t)
+    for a, bb in zip(jax.tree_util.tree_leaves(g1),
+                     jax.tree_util.tree_leaves(g2)):
+        d = float(jnp.abs(a - bb).max())
+        s = max(1e-9, float(jnp.abs(a).max()))
+        assert d / s < 5e-3
+
+
 def test_pallas_sos_cascade(pallas_interpret):
     """Fused guarded SOS-cascade response: values + coefficient gradients
     vs the XLA cascade_prods path."""
