@@ -165,36 +165,60 @@ class mse_loss:
 class masked_mse_loss:
     """MSE over random partitions of the bin axis (reference loss.py:106-167).
 
-    Stateful mask cycling is made jit-friendly: the partitions live in
-    ``self.mask_indices`` and the trainer passes a step counter; when all
-    sets are consumed the trainer calls :meth:`regenerate` host-side."""
+    Mask cycling AND regeneration are jit-friendly and step-indexed: the
+    partitions for cycle ``c = step // n_masks`` are a pure function of a
+    base PRNG key (``fold_in(key, c)``), so the per-step ``train_step``
+    path, :meth:`Trainer.fit_scan`, and :meth:`Trainer.fit_scan_epochs`
+    all see the SAME mask sequence — the reference regenerates exhausted
+    partitions inside its forward (loss.py:106-167); here the
+    regeneration happens in-graph."""
 
     name = "maskedMSE"
     stateful = True
 
     def __init__(self, nfft: int, n_samples: int, n_sets: int = 1,
-                 regenerate_mask: bool = True, **kwargs):
+                 regenerate_mask: bool = True, key=None, **kwargs):
+        from flamo_tpu.utils import next_key
+
         self.nfft = nfft
         self.n_samples = n_samples
         self.n_sets = n_sets
         self.regenerate_mask = regenerate_mask
-        self.mask_indices = generate_partitions(
-            jnp.arange(nfft // 2 + 1), n_samples, n_sets)
+        self._base_key = next_key(key)
+        self.mask_indices = self.masks_for_cycle(0)
         self.n_masks = self.mask_indices.shape[0]
         self._calls = 0
+        self._cycle = 0
+
+    def masks_for_cycle(self, cycle):
+        """Partition stack for regeneration cycle ``cycle`` — pure and
+        traceable (fixed shapes, key = fold_in(base, cycle)), so it can
+        run inside a jitted/scanned step."""
+        return generate_partitions(
+            jnp.arange(self.nfft // 2 + 1), self.n_samples, self.n_sets,
+            key=jax.random.fold_in(self._base_key, cycle))
 
     def pre_step(self):
-        """Host-side hook called by the trainer before each step."""
+        """Host-side hook called by the trainer before each per-step
+        train_step (kept for attribute introspection — the in-graph
+        ``__call__`` path no longer depends on it)."""
         self._calls += 1
-        if self._calls > self.n_masks and self.regenerate_mask:
-            self._calls = 1
-            self.mask_indices = generate_partitions(
-                jnp.arange(self.nfft // 2 + 1), self.n_samples, self.n_sets)
+        if self.regenerate_mask:
+            cycle = (self._calls - 1) // self.n_masks
+            if cycle != self._cycle:
+                self._cycle = cycle
+                self.mask_indices = self.masks_for_cycle(cycle)
 
     def __call__(self, y_pred, y_true, step=None, state=None):
-        masks = self.mask_indices if state is None else state
-        i = 0 if step is None else step % masks.shape[0]
-        mask = masks[i]
+        if step is None:
+            masks = self.mask_indices if state is None else state
+            mask = masks[0]
+        elif self.regenerate_mask:
+            cycle = step // self.n_masks
+            mask = self.masks_for_cycle(cycle)[step % self.n_masks]
+        else:
+            masks = self.mask_indices if state is None else state
+            mask = masks[step % masks.shape[0]]
         return jnp.mean((y_pred[:, mask] - y_true[:, mask]) ** 2)
 
 

@@ -144,9 +144,10 @@ class Trainer:
         dispatched ``lax.scan`` program via :meth:`fit_scan_epochs` —
         numerically the identical step sequence (same step counter, loss
         masks, Adam/schedule state), minus per-step host round-trips.
-        Batch order is frozen at stacking time and the validation loss is
-        evaluated on the first validation batch; per-criterion loss logs
-        are not populated on this path."""
+        Batch order is frozen at stacking time; validation scans ALL
+        batches (a second no-grad ``lax.scan``) and per-criterion loss
+        logs are populated, so early stopping sees the same signal as
+        the eager path."""
         self.train_loss, self.valid_loss = [], []
         self.train_loss_log = {self._loss_name(c): [] for c in self.criterion}
         self.valid_loss_log = {self._loss_name(c): [] for c in self.criterion}
@@ -155,9 +156,10 @@ class Trainer:
             from flamo_tpu.optimize.dataset import stack_loader
 
             bx, bt = stack_loader(train_dataset)
-            vx = vt = None
-            for vx, vt in valid_dataset:
-                break
+            try:
+                vx, vt = stack_loader(valid_dataset)
+            except (ValueError, StopIteration):  # empty loader
+                vx = vt = None
             st = time.time()
             self.fit_scan_epochs(bx, bt, n_epochs=self.max_epochs,
                                  valid_inputs=vx, valid_targets=vt)
@@ -260,7 +262,15 @@ class Trainer:
         identical to ``S`` sequential :meth:`train_step` calls (same step
         counter, loss masks, Adam/schedule state); amortizes host->device
         dispatch exactly like :meth:`fit_scan` does for the repeated-pair
-        case.  Returns the (n_epochs * S,) per-step loss history."""
+        case.  Per-criterion train/valid loss logs are populated like the
+        eager path's.
+
+        ``valid_inputs``/``valid_targets`` may carry a leading batch-stack
+        axis ``(Sv, B, ...)`` (from :func:`stack_loader`) — validation then
+        scans ALL batches (a no-grad ``lax.scan``) and early stopping sees
+        the same full-validation mean as :meth:`train`; a single batch
+        ``(B, ...)`` is treated as a stack of one.  Returns the
+        (n_epochs * S,) per-step loss history."""
         import numpy as np
 
         batched_inputs = jnp.asarray(batched_inputs)
@@ -276,31 +286,60 @@ class Trainer:
                     xi, ti, i = xs
                     m, o, total, per = self._raw_step(m, o, xi, ti,
                                                       step0 + i, loss_state)
-                    return (m, o), total
+                    return (m, o), (total, jnp.stack(per))
 
-                (model, opt_state), losses = jax.lax.scan(
+                (model, opt_state), (losses, per) = jax.lax.scan(
                     body, (model, opt_state),
                     (binputs, btargets,
                      jnp.arange(binputs.shape[0])))
-                return model, opt_state, losses
+                return model, opt_state, losses, per
+
+            def valid_epoch_fn(model, vinputs, vtargets, step, loss_state):
+                def body(carry, xs):
+                    xi, ti = xs
+                    total, per = self._total_loss(model, xi, ti, step,
+                                                  loss_state)
+                    return carry, (total, jnp.stack(per))
+
+                _, (totals, per) = jax.lax.scan(
+                    body, None, (vinputs, vtargets))
+                return jnp.mean(totals), jnp.mean(per, axis=0)
 
             # jit's own cache re-specializes on new (S, B, ...) shapes
             self._scan_epoch_jit = jax.jit(epoch_fn, donate_argnums=(0, 1))
+            self._scan_valid_jit = jax.jit(valid_epoch_fn)
+
+        if valid_inputs is not None:
+            valid_inputs = jnp.asarray(valid_inputs)
+            valid_targets = jnp.asarray(valid_targets)
+            if valid_inputs.ndim == batched_inputs.ndim - 1:
+                valid_inputs = valid_inputs[None]
+                valid_targets = valid_targets[None]
 
         history = []
         for epoch in range(n_epochs):
-            self.net, self._opt_state, losses = self._scan_epoch_jit(
+            self.net, self._opt_state, losses, per = self._scan_epoch_jit(
                 self.net, self._opt_state, batched_inputs, batched_targets,
                 jnp.asarray(self._step_count), self._gather_loss_state())
             self._step_count += S
             history.append(np.asarray(losses))
+            per = np.asarray(per)  # (S, n_loss)
+            for j, criterion in enumerate(self.criterion):
+                self.train_loss_log.setdefault(
+                    self._loss_name(criterion), []).extend(
+                        per[:, j].tolist())
             self.train_loss.append(float(history[-1].mean()))
             if valid_inputs is not None:
-                total, _ = self._jitted_valid(
+                total, vper = self._scan_valid_jit(
                     self.net, valid_inputs, valid_targets,
                     jnp.asarray(self._step_count),
                     self._gather_loss_state())
                 self.valid_loss.append(float(total))
+                vper = np.asarray(vper)
+                for j, criterion in enumerate(self.criterion):
+                    self.valid_loss_log.setdefault(
+                        self._loss_name(criterion), []).append(
+                            float(vper[j]))
             if self.log:
                 self.save_model(epoch)
             if valid_inputs is not None and self.early_stop():
