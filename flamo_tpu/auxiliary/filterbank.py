@@ -2,9 +2,18 @@
 flamo/auxiliary/filterbank.py, adapted there from DecayFitNet).
 
 Filters are designed with scipy at construction (host-side); application is
-TPU-native: either zero-phase-free frequency-domain multiplication of the
-cascaded SOS response (backend 'fft', the jittable default) or scipy
-``sosfilt`` on host (backend 'scipy', bit-matching the reference's default).
+TPU-native: frequency-domain multiplication of the cascaded SOS response
+(backend 'fft', the jittable default) or scipy ``sosfilt`` on host
+(backend 'scipy').  Both backends share ONE output convention —
+``(B, T, N) -> (B, T, N, n_bands)``, causal filtering along time — and the
+'fft' backend gets LINEAR convolution semantics by zero-padding the
+signal past the filters' decay (``pad`` samples) and sampling the band
+responses on the exact rfft grid.  (The reference's own forward is
+partially dead code — its backend if/else raises for 'scipy'
+(filterbank.py:250-260) and its 'torch' path multiplies circularly on the
+unpadded grid; the behavioral contract implemented here is causal
+band-filtering along time with a bounded fft-vs-scipy error, see
+tests/test_aux.py.)
 """
 
 from __future__ import annotations
@@ -27,7 +36,8 @@ class FilterBank:
 
     def __init__(self, fraction: int = 3, order: int = 5, fmin: float = 20.0,
                  fmax: float = 18000.0, sample_rate: int = 48000,
-                 nfft: int = None, backend: str = "fft"):
+                 nfft: int = None, backend: str = "fft",
+                 pad: int = None):
         assert fraction in (1, 3), (
             "At the moment only fractions 1 and 3 are supported"
         )
@@ -46,6 +56,9 @@ class FilterBank:
         self._sample_rate = sample_rate
         self._backend = backend
         self._nfft = nfft
+        # zero-padding for linear-convolution semantics on the fft
+        # backend: 1 s covers the narrow low bands' decay to < -60 dB
+        self._pad = sample_rate if pad is None else int(pad)
         self._sos = self._get_octave_filters(
             self._center_frequencies, sample_rate, order)
 
@@ -74,36 +87,41 @@ class FilterBank:
         return self._center_frequencies
 
     # -- application -------------------------------------------------------
-    def _band_responses(self, n_bins: int):
+    def _band_responses(self, nfft_pad: int):
+        """Band responses sampled on the EXACT rfft grid of an
+        ``nfft_pad``-point transform (k * fs / nfft_pad), so the fft
+        backend's multiplication is the true DFT of each filter."""
         from scipy.signal import sosfreqz
 
-        freqz = np.zeros((len(self._sos), n_bins), dtype=np.complex128)
+        worN = np.fft.rfftfreq(nfft_pad, d=1.0 / self._sample_rate)
+        freqz = np.zeros((len(self._sos), worN.shape[0]),
+                         dtype=np.complex128)
         for i, sos in enumerate(self._sos):
-            _, freqz[i, :] = sosfreqz(sos, n_bins, fs=self._sample_rate)
+            _, freqz[i, :] = sosfreqz(sos, worN=worN, fs=self._sample_rate)
         return freqz
 
     def __call__(self, x):
         return self.forward(x)
 
     def forward(self, x):
-        """x (B, T, N) -> (B, T, N, n_bands) (fft backend) or the reference's
-        scipy path stacking over dim=-2."""
+        """x (B, T, N) -> (B, T, N, n_bands), causal band filtering along
+        the time axis (both backends share this convention)."""
         if self._backend == "scipy":
             import scipy.signal
 
             out = [scipy.signal.sosfilt(np.asarray(sos), np.asarray(x),
-                                        axis=-1)
+                                        axis=1)
                    for sos in self._sos]
-            return jnp.stack([jnp.asarray(o) for o in out], axis=-2)
-        # fft backend: multiply band responses on the rfft grid of length T
+            return jnp.stack([jnp.asarray(o) for o in out], axis=-1)
+        # fft backend: zero-pad past the filter decay (linear, not
+        # circular, convolution) and multiply the exact-grid responses
         x = jnp.asarray(x)
         T = x.shape[1]
-        n_bins = T // 2 + 1 if self._nfft is None else self._nfft
-        freqz = jnp.asarray(self._band_responses(n_bins),
-                            dtype=jnp.complex64)
-        X = jnp.fft.rfft(x, axis=1)
-        Y = jnp.einsum("bfn,kf->bfnk", X[:, :n_bins], freqz)
-        return jnp.fft.irfft(Y, n=T, axis=1)
+        Tp = T + self._pad
+        freqz = jnp.asarray(self._band_responses(Tp), dtype=jnp.complex64)
+        X = jnp.fft.rfft(x, n=Tp, axis=1)
+        Y = jnp.einsum("bfn,kf->bfnk", X, freqz)
+        return jnp.fft.irfft(Y, n=Tp, axis=1)[:, :T]
 
     def get_filterbank_impulse_response(self):
         """Impulse response of the bank (reference filterbank.py:263-273)."""
