@@ -36,10 +36,16 @@ def build_attenuated_fdn(nfft: int = 96000, delays=DEFAULT_DELAYS,
                          dtype=jnp.float32,
                          solve_method: str = "ge",
                          cascade_backend: str = "xla",
+                         cache_delays: bool = False,
                          key=None) -> system.Shell:
     """Shell(FFT -> [Gain, Recursion(parallelDelay,
     Series(orthogonal Matrix, sigmoid-mapped parallelGEQ)), Gain])
-    (reference e8_fdn.py:32-184, GEQ attenuation variant)."""
+    (reference e8_fdn.py:32-184, GEQ attenuation variant).
+
+    cache_delays=True wraps the (frozen) delay lines in
+    :class:`dsp.CachedResponse` so the (M, N) e^{-j omega d} response is
+    computed once instead of per training step (same trade as the
+    colorless builder; only valid while the delays stay frozen)."""
     from flamo_tpu.utils import next_key
 
     N = len(delays)
@@ -50,6 +56,8 @@ def build_attenuated_fdn(nfft: int = 96000, delays=DEFAULT_DELAYS,
                            alias_decay_db=alias_decay_db, dtype=dtype,
                            key=keys[0])
     dl = dl.assign_value(dl.sample2s(jnp.asarray(delays, dtype=dtype)))
+    if cache_delays:
+        dl = dsp.CachedResponse(dl)
     mix = dsp.Matrix(size=(N, N), nfft=nfft, matrix_type="orthogonal",
                      requires_grad=True, alias_decay_db=alias_decay_db,
                      dtype=dtype, key=keys[1])

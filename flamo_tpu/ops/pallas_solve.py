@@ -834,6 +834,9 @@ def _sos_cascade_bwd_kernel(P: int, K: int, N: int, nfft: int, M_true: int,
     gradient) and at the padded tail."""
     shape = (TILE // 128, 128)
     z, binf = _bin_phasor(nfft, shape)
+    zs = [z]  # z^1 .. z^{P-1}, hoisted out of the section loops
+    for _ in range(2, P):
+        zs.append(_cmul(zs[-1], z))
     valid = binf < float(M_true)
     bbar_rows = []
     abar_rows = []
@@ -858,18 +861,15 @@ def _sos_cascade_bwd_kernel(P: int, K: int, N: int, nfft: int, M_true: int,
                 d = _cabs2(sec)
                 okd = d > 0.0
                 invd = 1.0 / jnp.where(okd, d, 1.0)
-                # t / sec, zeroed where the section response is 0
+                # t / sec, zeroed where the section response is 0;
+                # only Re(t/sec * z^p) is ever reduced
                 tr = jnp.where(okd, (t[0] * sec[0] + t[1] * sec[1]) * invd,
                                0.0)
                 ti = jnp.where(okd, (t[1] * sec[0] - t[0] * sec[1]) * invd,
                                0.0)
-                ts = (tr, ti)
                 vals = [jnp.sum(tr)]
-                zp = z  # z^p, accumulated across tap orders
-                for _ in range(1, P):
-                    tzp = _cmul(ts, zp)
-                    vals.append(jnp.sum(tzp[0]))
-                    zp = _cmul(zp, z)
+                for zp in zs:
+                    vals.append(jnp.sum(tr * zp[0] - ti * zp[1]))
                 rows.append(sign * jnp.stack(vals))
     # rows are ordered n-major, k-minor with P entries each -> (N*K, P)
     bb_ref[0] = jnp.stack(bbar_rows)
@@ -966,21 +966,30 @@ pallas_sos_cascade.defvjp(_sos_cascade_vfwd, _sos_cascade_vbwd)
 # the colorless one: the (M, N) attenuation response, the (M, N) rhs, y,
 # tf, and every cotangent between them stay in vector registers.
 # ---------------------------------------------------------------------------
-def _cascade_tile(b_ref, a_ref, n, z, P, K, shape):
+def _cascade_tile(b_ref, a_ref, n, z, P, K, shape, keep_secs=False):
     """Guarded cascade response for channel n at this tile's phasor:
     returns (Gam, pa_ok) — the response pair and the denominator-nonzero
-    mask (the _iir_guard_prods eps semantics)."""
+    mask (the _iir_guard_prods eps semantics).  keep_secs=True also
+    returns the per-section (B_k, A_k) response tiles so an adjoint
+    pass can reuse them instead of recomputing the Horners."""
     pb = (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
     pa = (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
+    secs = []
     for k in range(K):
-        pb = _cmul(pb, _horner3(b_ref, k, n, z, P, shape))
-        pa = _cmul(pa, _horner3(a_ref, k, n, z, P, shape))
+        Bk = _horner3(b_ref, k, n, z, P, shape)
+        Ak = _horner3(a_ref, k, n, z, P, shape)
+        if keep_secs:
+            secs.append((Bk, Ak))
+        pb = _cmul(pb, Bk)
+        pa = _cmul(pa, Ak)
     den = _cabs2(pa)
     ok = den != 0.0
     inv = 1.0 / jnp.where(ok, den, 1.0)
     eps = float(np.finfo(np.float32).eps)
     gr = jnp.where(ok, (pb[0] * pa[0] + pb[1] * pa[1]) * inv, eps)
     gi = jnp.where(ok, (pb[1] * pa[0] - pb[0] * pa[1]) * inv, 0.0)
+    if keep_secs:
+        return (gr, gi), ok, secs
     return (gr, gi), ok
 
 
@@ -989,7 +998,7 @@ def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
                            dr_ref, di_ref, bt_ref, at_ref, u_ref,
                            b_ref, c_ref, xr_ref, xi_ref, t_ref,
                            loss_ref, ub_ref, bb_ref, cb_ref,
-                           tb_ref, ta_ref, *dbar_refs):
+                           tap_ref, *rest_refs):
     """One bin-tile of the attenuated-FDN loss-and-gradients:
 
         Gam_mn = prod_k B_kn(z_m) / prod_k A_kn(z_m)      (SOS attenuation)
@@ -1009,18 +1018,52 @@ def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
         taps: t_n = Gam_bar_n Gam_n, then per section
               b_bar[p,k,n] =  sum_m Re(t_n / B_kn z^{-p})
               a_bar[p,k,n] = -sum_m Re(t_n / A_kn z^{-p})
-    Padded bins contribute nothing (D, X, t zero-padded => tf_bar = 0)."""
+    Padded bins contribute nothing (D, X, t zero-padded => tf_bar = 0).
+
+    Structured in two phases: phase 1 (cascade + solve + loss + U/b/c
+    heads) holds the factored loop matrix and solution vectors live;
+    phase 2 (the 2*K*N tap-cotangent section loop) holds only the N
+    per-channel Gam-cotangent tiles and the hoisted z powers.  Measured
+    NEUTRAL vs the interleaved layout (1150 us/step both ways at
+    N=6, K=12 — Mosaic's scheduler already bounded liveness); kept for
+    the smaller live set and readability.  Phase 2 dominates the kernel
+    (the colorless step kernel, which is this kernel minus phase 2,
+    runs ~34 us).  Phase-2 structure is dictated by a measured Mosaic
+    pathology (bisected on-chip 2026-08-17): per-section
+    jnp.sum-to-scalar + jnp.stack cost ~2.3 us PER REDUCE inside this
+    kernel (432 reduces -> 1150 us/step; phase 2 stubbed -> 67.7;
+    per-section count capped -> linear in sections; tile-accumulate
+    without scalar reduces -> 156 us), even though the IDENTICAL loop
+    in _sos_cascade_bwd_kernel reduces at full speed.  So phase 2 keeps
+    all per-section q tiles and reduces ONCE per tap power over the
+    concatenated (N*K*8, 128) array (lane reduce -> (N*K*8, 1)
+    partials); XLA folds the 8 sublane partials and the grid axis.  tn
+    is handed phase1->phase2 through an explicit VMEM scratch (the
+    trailing two refs) — measured neutral, kept for the bounded live
+    set."""
+    if with_dbar:
+        dbar_refs = rest_refs[:2]
+        tnr_ref, tni_ref = rest_refs[2:]
+    else:
+        dbar_refs = ()
+        tnr_ref, tni_ref = rest_refs
     shape = (TILE // 128, 128)
     z, _ = _bin_phasor(nfft, shape)
+    zs = [z]  # z^1 .. z^{P-1}, hoisted out of the section loops
+    for _ in range(2, P):
+        zs.append(_cmul(zs[-1], z))
 
     D = [(dr_ref[i].reshape(shape), di_ref[i].reshape(shape))
          for i in range(N)]
     Gam = []
     Gok = []
+    all_secs = []
     for n in range(N):
-        g, ok = _cascade_tile(bt_ref, at_ref, n, z, P, K, shape)
+        g, ok, secs = _cascade_tile(bt_ref, at_ref, n, z, P, K, shape,
+                                    keep_secs=True)
         Gam.append(g)
         Gok.append(ok)
+        all_secs.append(secs)
     Dp = [_cmul(D[i], Gam[i]) for i in range(N)]
 
     A = []
@@ -1089,8 +1132,6 @@ def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
     bbar_rows = []
     cbar_rows = []
     ubar_rows = []
-    tbar_rows = []
-    abar_rows = []
     for i in range(N):
         bb = _cmul(tb, w[i])
         dpbar = _cmul(bb, Uy[i])
@@ -1108,36 +1149,62 @@ def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
             row.append(jnp.sum(_cmul(bbDp, y[j])[0]))
         ubar_rows.append(jnp.stack(row))
 
-        # SOS tap cotangents for this channel (zero where the cascade
-        # denominator vanished -> the response is the eps constant)
+        # Gam cotangent for this channel (zero where the cascade
+        # denominator vanished -> the response is the eps constant),
+        # spilled to scratch: see the docstring on the phase handoff
         tn = _cmul(gambar, Gam[i])
-        tn = (jnp.where(Gok[i], tn[0], 0.0), jnp.where(Gok[i], tn[1], 0.0))
-        for c_ref2, rows, sign in ((bt_ref, tbar_rows, 1.0),
-                                   (at_ref, abar_rows, -1.0)):
-            for k in range(K):
-                sec = _horner3(c_ref2, k, i, z, P, shape)
-                d = _cabs2(sec)
-                okd = d > 0.0
-                invd = 1.0 / jnp.where(okd, d, 1.0)
-                tr = jnp.where(okd, (tn[0] * sec[0] + tn[1] * sec[1])
-                               * invd, 0.0)
-                ti = jnp.where(okd, (tn[1] * sec[0] - tn[0] * sec[1])
-                               * invd, 0.0)
-                ts = (tr, ti)
-                vals = [jnp.sum(tr)]
-                zp = z
-                for _ in range(1, P):
-                    tzp = _cmul(ts, zp)
-                    vals.append(jnp.sum(tzp[0]))
-                    zp = _cmul(zp, z)
-                rows.append(sign * jnp.stack(vals))
+        tnr_ref[i] = jnp.where(Gok[i], tn[0], 0.0).reshape(TILE)
+        tni_ref[i] = jnp.where(Gok[i], tn[1], 0.0).reshape(TILE)
 
     ub_ref[0] = jnp.stack(ubar_rows)
     bb_ref[0] = jnp.stack(bbar_rows).reshape(N, 1)
     cb_ref[0] = jnp.stack(cbar_rows).reshape(N, 1)
-    # rows are ordered n-major, k-minor with P entries each -> (N*K, P)
-    tb_ref[0] = jnp.stack(tbar_rows)
-    ta_ref[0] = jnp.stack(abar_rows)
+
+    # phase 2: SOS tap cotangents — only tn_list and zs are live here;
+    # only the real part of t/sec * z^p is ever reduced.
+    # Per-section jnp.sum-to-scalar + stack was the pathology (see the
+    # docstring): instead keep every section's q tiles and emit ONE
+    # lane-reduce per tap power over the concatenated (N*K*8, 128)
+    # array, leaving the final 8-partial fold to XLA.  Row order:
+    # (pass b/a, channel-major, section-minor, sublane).
+    # The (1, 2P, N*K*sub, 1) tap block is REVISITED by every grid
+    # program (constant index map): accumulate in VMEM across the grid
+    # so XLA only folds sublanes — the XLA-side grid-axis reduce of
+    # (n_tiles, 2P, N*K*sub, 1) partials measured 65 us/step.
+    pid = pl.program_id(0)
+    for part, row0, sign in ((0, 0, 1.0), (1, P, -1.0)):
+        qrs = []
+        qis = []
+        for i in range(N):
+            tn = (tnr_ref[i].reshape(shape), tni_ref[i].reshape(shape))
+            for k in range(K):
+                sec = all_secs[i][k][part]  # reused from phase 1
+                d = _cabs2(sec)
+                okd = d > 0.0
+                invd = 1.0 / jnp.where(okd, d, 1.0)
+                qrs.append(jnp.where(okd, (tn[0] * sec[0] + tn[1] * sec[1])
+                                     * invd, 0.0))
+                qis.append(jnp.where(okd, (tn[1] * sec[0] - tn[0] * sec[1])
+                                     * invd, 0.0))
+        bqr = jnp.concatenate(qrs, axis=0)  # (N*K*sub, 128)
+        bqi = jnp.concatenate(qis, axis=0)
+        reps = len(qrs)
+        vals = [sign * jnp.sum(bqr, axis=1, keepdims=True)]
+        for zp in zs:
+            bzr = jnp.concatenate([zp[0]] * reps, axis=0)
+            bzi = jnp.concatenate([zp[1]] * reps, axis=0)
+            vals.append(sign * jnp.sum(bqr * bzr - bqi * bzi, axis=1,
+                                       keepdims=True))
+
+        @pl.when(pid == 0)
+        def _init(row0=row0, vals=vals):
+            for p, v in enumerate(vals):
+                tap_ref[0, row0 + p] = v
+
+        @pl.when(pid > 0)
+        def _acc(row0=row0, vals=vals):
+            for p, v in enumerate(vals):
+                tap_ref[0, row0 + p] = tap_ref[0, row0 + p] + v
 
 
 def _fdn_sos_tf_mse_ml(dr, di, bt, at, u, b, c, xr, xi, t, nfft: int,
@@ -1156,7 +1223,11 @@ def _fdn_sos_tf_mse_ml(dr, di, bt, at, u, b, c, xr, xi, t, nfft: int,
                            memory_space=pltpu.VMEM)
     t_spec = pl.BlockSpec((1, TILE), lambda m: (0, m),
                           memory_space=pltpu.VMEM)
-    part_spec = pl.BlockSpec((1, N * K, P), lambda m: (m, 0, 0),
+    # tap-cotangent partials: 2*P rows (b then a, per tap power) of
+    # (N*K*sub, 1) lane-reduced sums — the caller folds sublanes + grid
+    sub = TILE // 128
+    part_spec = pl.BlockSpec((1, 2 * P, N * K * sub, 1),
+                             lambda m: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     out_specs = [t_spec,
                  pl.BlockSpec((1, N, N), lambda m: (m, 0, 0),
@@ -1165,13 +1236,13 @@ def _fdn_sos_tf_mse_ml(dr, di, bt, at, u, b, c, xr, xi, t, nfft: int,
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((1, N, 1), lambda m: (m, 0, 0),
                               memory_space=pltpu.VMEM),
-                 part_spec, part_spec]
+                 part_spec]
     out_shape = [jax.ShapeDtypeStruct((1, Mp), dr.dtype),
                  jax.ShapeDtypeStruct((n_tiles, N, N), dr.dtype),
                  jax.ShapeDtypeStruct((n_tiles, N, 1), dr.dtype),
                  jax.ShapeDtypeStruct((n_tiles, N, 1), dr.dtype),
-                 jax.ShapeDtypeStruct((n_tiles, N * K, P), dr.dtype),
-                 jax.ShapeDtypeStruct((n_tiles, N * K, P), dr.dtype)]
+                 jax.ShapeDtypeStruct((1, 2 * P, N * K * sub, 1),
+                                      dr.dtype)]
     if with_dbar:
         out_specs += [vec_spec, vec_spec]
         out_shape += [jax.ShapeDtypeStruct((N, Mp), dr.dtype)] * 2
@@ -1183,6 +1254,8 @@ def _fdn_sos_tf_mse_ml(dr, di, bt, at, u, b, c, xr, xi, t, nfft: int,
                   nv_spec, nv_spec, t_spec, t_spec, t_spec],
         out_specs=out_specs,
         out_shape=out_shape,
+        # tn phase-handoff scratch: see the kernel docstring
+        scratch_shapes=[pltpu.VMEM((N, TILE), jnp.float32)] * 2,
         interpret=_interpret(),
     )(dr, di, bt, at, u, b, c, xr, xi, t)
 
@@ -1211,21 +1284,23 @@ def _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, D, bt, at, U, b, c, X, t):
         jnp.real(Dt), jnp.imag(Dt), bt2, at2, U.astype(rdtype),
         b.astype(rdtype)[:, None], c.astype(rdtype)[:, None],
         xr, xi, tp, nfft, M, with_dbar, pivot)
-    lp, ub, bbp, cbp, tbp, tap = outs[:6]
+    lp, ub, bbp, cbp, tparts = outs[:5]
     P, K, _ = bt.shape
     loss = jnp.sum(lp) / M
     U_bar = jnp.sum(ub, axis=0).astype(U.dtype)
     b_bar = jnp.sum(bbp, axis=0)[:, 0].astype(b.dtype)
     c_bar = jnp.sum(cbp, axis=0)[:, 0].astype(c.dtype)
 
-    def fold(x):
-        s = jnp.sum(x, axis=0).reshape(N, K, P)
-        return jnp.transpose(s, (2, 1, 0))
-
-    bt_bar = fold(tbp).astype(bt.dtype)
-    at_bar = fold(tap).astype(at.dtype)
+    # fold the (1, 2P, N*K*sub, 1) lane partials (grid already
+    # accumulated in-kernel): sublane sums only, rows are channel-major
+    # section-minor (see kernel phase 2)
+    folded = tparts[0, ..., 0].reshape(2, P, N, K, TILE // 128)
+    folded = jnp.sum(folded, axis=-1)  # (2, P, N, K)
+    folded = jnp.transpose(folded, (0, 1, 3, 2))  # (2, P, K, N)
+    bt_bar = folded[0].astype(bt.dtype)
+    at_bar = folded[1].astype(at.dtype)
     if with_dbar:
-        dbr, dbi = outs[6], outs[7]
+        dbr, dbi = outs[5], outs[6]
         D_bar = jnp.transpose(dbr + 1j * dbi, (1, 0))[:M]
     else:
         D_bar = jnp.zeros_like(D)

@@ -62,7 +62,8 @@ def _build_attenuated(solve_method: str):
     model = build_attenuated_fdn(
         nfft=NFFT, delays=DELAYS,
         solve_method="pallas" if not fused else "ge_cached",
-        cascade_backend="pallas" if not fused else "xla")
+        cascade_backend="pallas" if not fused else "xla",
+        cache_delays=True)
     step, opt_state = attenuated_train_step(
         model, lr=1e-4, fused_step=fused,
         step_pivot=solve_method == "fused")
