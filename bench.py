@@ -232,7 +232,8 @@ def _build_attenuated(mode: str):
     solve = "pallas" if mode == "pallas" else "ge_cached"
     cascade = "pallas" if mode == "pallas" else "xla"
     m = build_attenuated_fdn(nfft=NFFT, delays=DELAYS, octave_interval=1,
-                             solve_method=solve, cascade_backend=cascade)
+                             solve_method=solve, cascade_backend=cascade,
+                             cache_delays=True)
     M = NFFT // 2 + 1
     x = jnp.zeros((1, NFFT, 1)).at[:, 0, :].set(1.0)
     t = jnp.ones((1, M, 1))
@@ -324,80 +325,112 @@ def measure_attenuated_fdn_steps_per_sec(k: int = 400, n_calls: int = 2,
     return n_calls * k / (time.perf_counter() - t0), fl
 
 
+def _build_aa(solve_method: str = "ge_cached"):
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.models import build_active_acoustics
+
+    flamo_tpu.set_seed(130297)
+    # UNCACHED room (ships only the 3 MB raw IRs — the 20 MB cached-
+    # response leaf intermittently trips the axon tunnel's transfer
+    # bug); the hoisted step recomputes the response in-trace, once per
+    # scan call, so the hot loop never re-rffts the room.
+    m = build_active_acoustics(n_mics=4, n_loudspeakers=13,
+                               rir_length=15000, fir_order=100,
+                               nfft=NFFT, fs=48000, t60=0.5,
+                               cache_room=False, solve_method=solve_method)
+    M = NFFT // 2 + 1
+    x = jnp.zeros((1, NFFT, 13)).at[:, 0, :].set(1.0)
+    target = jnp.ones((1, M, 4))
+    return m, x, target
+
+
 def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3,
+                                           hoist_room: bool = True,
                                            solve_method: str = "ge_cached"):
     """Second headline workload (BASELINE.md): active acoustics, 4 mics x
     13 loudspeakers, RIR length 15000, FIR order 100, nfft=96000.
 
-    solve kernel: the pivoted 'ge' default spends 60% of the step in six
-    iota+reduce pivot-search kernels (profiled 2026-08-16); 'ge_cached'
-    (no-pivot, factor-cached VJP) and the generic Pallas kernel both run
-    ~2.6x faster (35 -> 91-92 steps/s).  main() verifies the loss and the
-    caller can fall back to 'ge'."""
+    hoist_room=True (default) uses models.aa_hoisted_room_step: the
+    frozen room's pad->rfft->response chain runs once per scan call
+    instead of once per step (10.8 ms/step profiled on the graph path,
+    2026-08-17), with a forward loss-parity gate against the graph path
+    and a finite-loss gate (falls back to the graph path on failure).
+
+    solve kernel: 'ge_cached' — the pivoted 'ge' spends 60% of the step
+    in six iota+reduce pivot-search kernels (profiled 2026-08-16,
+    35 vs 91-92 steps/s); the graph fallback loss-gates it."""
     import jax
     import jax.numpy as jnp
     import optax
     import flamo_tpu
     from flamo_tpu.core import masked_optimizer
     from flamo_tpu.models import build_active_acoustics
-    from flamo_tpu.utils import host_eager
+    from flamo_tpu.models.active_acoustics import aa_hoisted_room_step
+    from flamo_tpu.utils import host_eager, to_device
 
-    flamo_tpu.set_seed(130297)
-    # Build with the UNCACHED room (ships only the 3 MB raw IRs — the
-    # 20 MB cached-response leaf intermittently trips the axon tunnel's
-    # transfer bug), then recompute the cached room response ON DEVICE
-    # inside a jit and swap it in: the hot loop never re-rffts the room.
     with host_eager():
-        m = build_active_acoustics(n_mics=4, n_loudspeakers=13,
-                                   rir_length=15000, fir_order=100,
-                                   nfft=NFFT, fs=48000, t60=0.5,
-                                   cache_room=False,
-                                   solve_method=solve_method)
-        M = NFFT // 2 + 1
-        x = jnp.zeros((1, NFFT, 13)).at[:, 0, :].set(1.0)
-        target = jnp.ones((1, M, 4))
-        from flamo_tpu.processor import dsp
+        m, x, target = _build_aa(solve_method)
+        if hoist_room:
+            multi, opt_state = aa_hoisted_room_step(m, x, target, lr=1e-3)
+        else:
+            tx = masked_optimizer(optax.adam(1e-3), m)
+            # NOTE: host-init + transfer, NOT jax.jit(tx.init) on device
+            # — jit outputs carry non-default layouts on this backend
+            # and the training executable then pays a layout conversion
+            # per call (68x slower).
+            opt_state = tx.init(m)
 
-        tx = masked_optimizer(optax.adam(1e-3), m)
-        opt_state = tx.init(m)
-    from flamo_tpu.utils import to_device
+            def loss_fn(m, x, t):
+                return jnp.mean((jnp.abs(m(x)) - t) ** 2)
 
-    # NOTE: host-init + transfer, NOT jax.jit(tx.init) on device — jit
-    # outputs carry non-default layouts on this backend and the training
-    # executable then pays a layout conversion per call (68x slower).
+            def multi(m, o, x, t, k):
+                def body(c, _):
+                    mm, oo = c
+                    loss, g = jax.value_and_grad(loss_fn)(mm, x, t)
+                    up, oo = tx.update(g, oo, mm)
+                    return (optax.apply_updates(mm, up), oo), loss
+
+                (m, o), ls = jax.lax.scan(body, (m, o), None, length=k)
+                return m, o, ls[-1]
+
     m, opt_state, x, target = to_device((m, opt_state, x, target))
+    if hoist_room:
+        # forward loss-parity gate: first scanned loss must match the
+        # module-graph loss at the same (init) parameters
+        def graph_loss(m, x, t):
+            return jnp.mean((jnp.abs(m(x)) - t) ** 2)
 
-    def loss_fn(m):
-        est = jnp.abs(m(x))
-        return jnp.mean((est - target) ** 2)
+        def first_loss(m, o, x, t):
+            return multi(m, o, x, t, 1)[2]
 
-    def step(m, opt_state):
-        loss, g = jax.value_and_grad(loss_fn)(m)
-        updates, opt_state = tx.update(g, opt_state, m)
-        return optax.apply_updates(m, updates), opt_state, loss
+        lg = float(jax.jit(graph_loss)(m, x, target))
+        lh = float(jax.jit(first_loss)(m, opt_state, x, target))
+        if not (abs(lh - lg) / max(1e-9, abs(lg)) < 1e-3):
+            return measure_active_acoustics_steps_per_sec(
+                k=k, n_calls=n_calls, hoist_room=False,
+                solve_method=solve_method)
 
-    def multi(m, o):
-        def body(c, _):
-            m, o = c
-            m, o, l = step(m, o)
-            return (m, o), l
-
-        (m, o), ls = jax.lax.scan(body, (m, o), None, length=k)
-        return m, o, ls[-1]
-
-    jm = jax.jit(multi, donate_argnums=(0, 1))
-    m, opt_state, loss = jm(m, opt_state)
+    jm = jax.jit(lambda m, o, x, t: multi(m, o, x, t, k),
+                 donate_argnums=(0, 1))
+    m, opt_state, loss = jm(m, opt_state, x, target)
     jax.block_until_ready(loss)
     t0 = time.perf_counter()
     for _ in range(n_calls):
-        m, opt_state, loss = jm(m, opt_state)
+        m, opt_state, loss = jm(m, opt_state, x, target)
     jax.block_until_ready(loss)
     sps = n_calls * k / (time.perf_counter() - t0)
     fl = float(loss)
-    if solve_method != "ge" and not (fl == fl and 0.0 < fl < 1e3):
-        # no-pivot breakdown on this loop: re-measure with pivoting
-        return measure_active_acoustics_steps_per_sec(
-            k=k, n_calls=n_calls, solve_method="ge")
+    if not (fl == fl and 0.0 < fl < 1e3):
+        if hoist_room:
+            return measure_active_acoustics_steps_per_sec(
+                k=k, n_calls=n_calls, hoist_room=False,
+                solve_method=solve_method)
+        if solve_method != "ge":
+            # no-pivot breakdown on this loop: pivoted solve last resort
+            return measure_active_acoustics_steps_per_sec(
+                k=k, n_calls=n_calls, hoist_room=False, solve_method="ge")
+        raise RuntimeError(f"active-acoustics loss degenerated: {fl}")
     return sps
 
 

@@ -282,6 +282,59 @@ class ActiveAcoustics:
         self._rebuild_F_MM()
 
 
+def aa_hoisted_room_step(model: system.Shell, inputs, targets,
+                         lr: float = 1e-3):
+    """Build (jittable_multi, opt_state) for the AA magnitude-MSE
+    workload with the frozen room response HOISTED out of the scanned
+    steps.
+
+    The room is a frozen 15000-tap (mics, lds) FIR whose
+    pad->rfft->response chain re-ran inside EVERY training step on the
+    module-graph path (profiled 2026-08-17: the step is ~30 fusions/
+    pads/copies at 260-570 us each over (M, 4, 13) 20 MB-class arrays,
+    10.8 ms/step total).  Here ``multi(m, o, x, t)`` computes the room
+    response and the input spectrum ONCE per call — in-trace, so
+    nothing is transferred or cached across calls (the 20 MB cached
+    leaf trips the tunnel's transfer bug, CLAUDE.md) — and the
+    ``lax.scan`` body solves the loop with a
+    :class:`dsp.CachedResponse`-wrapped room.
+
+    Loss semantics are identical to the graph path:
+    ``mean((|Shell(FFT -> Recursion(room, mixer))(x)| - t)^2)`` —
+    bench gates the two paths against each other."""
+    import optax
+
+    from flamo_tpu.core import masked_optimizer
+
+    tx = masked_optimizer(optax.adam(lr), model)
+    opt_state = tx.init(model)
+    nfft = model.nfft
+    solve_method = model.get_core().solve_method
+
+    def multi(m, o, x, t, k):
+        loop = m.get_core()
+        room_cached = dsp.CachedResponse(loop.feedforward)  # hoisted
+        X = jnp.fft.rfft(x, n=nfft, axis=1)  # hoisted
+
+        def loss_fn(mm):
+            loop2 = system.Recursion(fF=room_cached,
+                                     fB=mm.get_core().feedback,
+                                     solve_method=solve_method)
+            est = jnp.abs(loop2(X))
+            return jnp.mean((est - t) ** 2)
+
+        def body(carry, _):
+            mm, oo = carry
+            loss, g = jax.value_and_grad(loss_fn)(mm)
+            up, oo = tx.update(g, oo, mm)
+            return (optax.apply_updates(mm, up), oo), loss
+
+        (m, o), losses = jax.lax.scan(body, (m, o), None, length=k)
+        return m, o, losses[-1]
+
+    return multi, opt_state
+
+
 def gain_before_instability_diff(model: system.Shell, subsample: int = 32,
                                  iters: int = 64):
     """Differentiable, fully on-device GBI via power-iteration spectral
