@@ -343,3 +343,101 @@ def gain_before_instability_diff(model: system.Shell, subsample: int = 32,
     (e8_active_acoustics.py:183-215) is eager analysis only."""
     rho = spectral_radius(open_loop_matrix(model, subsample), iters=iters)
     return -20 * jnp.log10(jnp.max(rho))
+
+
+def aa_dft_basis(order: int, nfft: int):
+    """Host-side (order, M) rfft-grid DFT basis E[t, m] = e^{-j 2 pi t m
+    / nfft} as a real (er, ei) numpy pair — the tap->response map
+    ``G[c, m] = sum_t taps[t, c] E[t, m]`` is then one MXU matmul
+    (exactly ``rfft(pad(taps))`` restricted to ``order`` nonzero taps).
+    Built as numpy so jit tracing never needs a device->host transfer
+    (the axon tunnel's transfer path flakes on big closure constants)."""
+    M = nfft // 2 + 1
+    t = np.arange(order, dtype=np.float64)[:, None]
+    m = np.arange(M, dtype=np.float64)[None, :]
+    ph = -2.0 * np.pi * t * m / nfft
+    return (np.cos(ph).astype(np.float32), np.sin(ph).astype(np.float32))
+
+
+def aa_fused_step(model: system.Shell, inputs, targets, lr: float = 1e-3,
+                  pivot: bool = False):
+    """Build (jittable_multi, opt_state, er, ei) for the AA
+    magnitude-MSE workload on the fused Pallas step kernel
+    (:func:`flamo_tpu.ops.pallas_aa_tf_mse`).
+
+    Per scanned step, everything per-bin — assembling I - H G, the
+    N x N solve, the loss, and the adjoint solve — runs in ONE Pallas
+    grid pass over channels-major (rows, M) response rows; the only
+    XLA-side per-step work is the tap->response MXU matmul against the
+    precomputed DFT basis (and its transpose for the tap gradient) plus
+    the Adam update.  The frozen room response and rhs = room x input
+    are hoisted out of the scan (computed once per call, in-trace).
+
+    Loss semantics are identical to the module-graph path
+    ``mean((|Shell(FFT -> Recursion(room, mixer))(x)| - t)^2)`` — bench
+    gates the two against each other.  Requires batch size 1 and an
+    identity-mapped FIR mixer feedback (the AA topology,
+    reference e8_active_acoustics.py:671-750).
+
+    multi signature: ``multi(m, o, x, t, er, ei, k)`` — pass the
+    returned (er, ei) basis through jit as arguments (they are large
+    frozen operands; keeping them out of the trace avoids constant
+    embedding)."""
+    import optax
+
+    from flamo_tpu.core import masked_optimizer
+    from flamo_tpu.ops.pallas_solve import pallas_aa_tf_mse
+
+    tx = masked_optimizer(optax.adam(lr), model)
+    opt_state = tx.init(model)
+    nfft = model.nfft
+    loop = model.get_core()
+    fb = loop.feedback
+    order, L, N = fb.param.shape  # (taps, n_loudspeakers, n_mics)
+    assert inputs.shape[0] == 1 and targets.shape[0] == 1, (
+        "aa_fused_step requires batch size 1")
+    er, ei = aa_dft_basis(order, nfft)
+
+    def multi(m, o, x, t, er, ei, k):
+        from flamo_tpu.ops import linop
+
+        loop = m.get_core()
+        room = loop.feedforward
+        kind, Hraw = room.matrix_response()  # hoisted: once per call
+        H = jax.lax.stop_gradient(
+            linop.materialize(kind, Hraw, nfft // 2 + 1, N, L))
+        X = jnp.fft.rfft(x, n=nfft, axis=1)[0]  # (M, L), hoisted
+        hrows = jnp.transpose(H, (1, 2, 0)).reshape(N * L, -1)
+        hr, hi = jnp.real(hrows), jnp.imag(hrows)
+        rhs = jnp.einsum("mil,ml->im", H, X,
+                         precision=jax.lax.Precision.HIGHEST)  # hoisted
+        rr, ri = jnp.real(rhs), jnp.imag(rhs)
+        tt = jnp.transpose(t[0], (1, 0))  # (N, M)
+
+        def loss_fn(mm):
+            fb = mm.get_core().feedback
+            taps = fb.ir(fb.param)  # map applied, (order, L, N)
+            env = jnp.asarray(fb.gamma, taps.dtype) ** jnp.arange(
+                order, dtype=taps.dtype)
+            tapsf = (taps * env[:, None, None]).reshape(order, L * N)
+            # HIGHEST precision: the TPU's default bf16 matmul passes
+            # cost ~1e-3 rel on G, which the 1e-3 parity gate rejects
+            # (measured 6.4e-3 on the loss, 2026-08-17); the matmul is
+            # FLOP-trivial so the 6-pass f32 emulation is free
+            gr = jnp.matmul(tapsf.T, er,
+                            precision=jax.lax.Precision.HIGHEST)
+            gi = jnp.matmul(tapsf.T, ei,
+                            precision=jax.lax.Precision.HIGHEST)
+            return pallas_aa_tf_mse(hr, hi, gr, gi, rr, ri, tt,
+                                    N=N, L=L, pivot=pivot)
+
+        def body(carry, _):
+            mm, oo = carry
+            loss, g = jax.value_and_grad(loss_fn)(mm)
+            up, oo = tx.update(g, oo, mm)
+            return (optax.apply_updates(mm, up), oo), loss
+
+        (m, o), losses = jax.lax.scan(body, (m, o), None, length=k)
+        return m, o, losses[-1]
+
+    return multi, opt_state, er, ei

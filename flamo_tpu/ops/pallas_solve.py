@@ -1338,3 +1338,179 @@ def pallas_fdn_sos_tf_mse(D, bt, at, U, b, c, X, t, nfft: int,
     (valid for stable FDN loops; gate on a finite-loss check)."""
     return _fdn_sos_tf_mse(nfft, with_dbar, pivot, D, bt, at, U, b, c,
                            X, t)
+
+
+# ---------------------------------------------------------------------------
+# fused active-acoustics step kernel: rectangular-product loop solve +
+# magnitude-MSE loss + mixer-response cotangent in ONE grid pass
+# ---------------------------------------------------------------------------
+def _aa_tf_mse_kernel(N: int, L: int, scale: float, pivot: bool,
+                      hr_ref, hi_ref, gr_ref, gi_ref, rr_ref, ri_ref,
+                      t_ref, loss_ref, sgr_ref, sgi_ref):
+    """One bin-tile of the active-acoustics loss-and-gradients
+    (reference examples/e8_active_acoustics.py:671-750 workload):
+
+        A_m = I_N - H_m G_m          (H: N x L frozen room, G: L x N mixer)
+        y_m = A_m^{-1} r_m           (r = H X, frozen: X is data)
+        Lss = sum_{m,i} (|y_mi| - t_mi)^2  (partial rows out; caller
+                                            divides by M_true * N)
+
+    and the mixer-response cotangent via one adjoint solve:
+
+        w_i  = scale * (|y_i| - t_i)/|y_i| * conj(y_i)
+        A^T xi = w                   (transpose, NOT conjugate-transpose)
+        S_jk = (H^T xi)_j y_k        (S-number rows out)
+
+    with the convention dLss/d(Re G) = Re S, dLss/d(Im G) = -Im S
+    (cotangents transform by the unconjugated transpose, same as the
+    FDN kernels above).  H and the rhs are frozen (room and input): no
+    cotangents are produced for them.  Padded bins have H = G = r = t =
+    0 => A = I, y = 0, diff = 0: they contribute nothing to either
+    output."""
+    shape = (TILE // 128, 128)
+    H = [[(hr_ref[i * L + j].reshape(shape),
+           hi_ref[i * L + j].reshape(shape)) for j in range(L)]
+         for i in range(N)]
+    G = [[(gr_ref[j * N + k].reshape(shape),
+           gi_ref[j * N + k].reshape(shape)) for k in range(N)]
+         for j in range(L)]
+
+    A = []
+    for i in range(N):
+        row = []
+        for k in range(N):
+            sr = jnp.zeros(shape, hr_ref.dtype)
+            si = jnp.zeros(shape, hr_ref.dtype)
+            for j in range(L):
+                p = _cmul(H[i][j], G[j][k])
+                sr = sr + p[0]
+                si = si + p[1]
+            eye = 1.0 if i == k else 0.0
+            row.append((eye - sr, -si))
+        A.append(row)
+    if pivot:
+        A0 = [[A[i][k] for k in range(N)] for i in range(N)]
+
+    rhs = [(rr_ref[i].reshape(shape), ri_ref[i].reshape(shape))
+           for i in range(N)]
+    if pivot:
+        y = _ge_core(A, rhs, N, shape)
+    else:
+        y = _ge_core_nopivot_factors(A, rhs, N)
+
+    losses = jnp.zeros(shape, hr_ref.dtype)
+    w = []
+    for i in range(N):
+        est = jnp.sqrt(_cabs2(y[i]))
+        diff = est - t_ref[i].reshape(shape)
+        losses = losses + diff * diff
+        # safe divide: padded/zero bins have est = 0 AND diff = 0
+        g = scale * diff / jnp.where(est > 0.0, est, 1.0)
+        w.append((g * y[i][0], -g * y[i][1]))
+    loss_ref[0] = losses.reshape(-1)
+
+    if pivot:
+        At = [[A0[i][k] for i in range(N)] for k in range(N)]
+        xi = _ge_core(At, w, N, shape)
+    else:
+        # A holds the forward no-pivot L/U factors: two substitutions
+        # replace the second elimination
+        xi = _transpose_solve_from_factors(A, w, N)
+
+    for j in range(L):
+        ar = jnp.zeros(shape, hr_ref.dtype)
+        ai = jnp.zeros(shape, hr_ref.dtype)
+        for i in range(N):
+            p = _cmul(H[i][j], xi[i])
+            ar = ar + p[0]
+            ai = ai + p[1]
+        for k in range(N):
+            s = _cmul((ar, ai), y[k])
+            sgr_ref[j * N + k] = s[0].reshape(-1)
+            sgi_ref[j * N + k] = s[1].reshape(-1)
+
+
+def _aa_tf_mse_ml(N, L, pivot, hr, hi, gr, gi, rr, ri, t, M_true: int):
+    Mp = hr.shape[-1]
+    grid = (Mp // TILE,)
+
+    def rows(R):
+        return pl.BlockSpec((R, TILE), lambda m: (0, m),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        partial(_aa_tf_mse_kernel, N, L, 2.0 / (M_true * N), pivot),
+        grid=grid,
+        in_specs=[rows(N * L), rows(N * L), rows(L * N), rows(L * N),
+                  rows(N), rows(N), rows(N)],
+        out_specs=[rows(1), rows(L * N), rows(L * N)],
+        out_shape=[jax.ShapeDtypeStruct((1, Mp), hr.dtype),
+                   jax.ShapeDtypeStruct((L * N, Mp), hr.dtype),
+                   jax.ShapeDtypeStruct((L * N, Mp), hr.dtype)],
+        interpret=_interpret(),
+    )(hr, hi, gr, gi, rr, ri, t)
+
+
+def _pad_rows(v, Mp):
+    pad = Mp - v.shape[-1]
+    if pad:
+        v = jnp.concatenate([v, jnp.zeros(v.shape[:-1] + (pad,), v.dtype)],
+                            axis=-1)
+    return v
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _aa_tf_mse(N, L, pivot, hr, hi, gr, gi, rr, ri, t):
+    loss, _ = _aa_tf_mse_fwd(N, L, pivot, hr, hi, gr, gi, rr, ri, t)
+    return loss
+
+
+def _aa_tf_mse_fwd(N, L, pivot, hr, hi, gr, gi, rr, ri, t):
+    M = hr.shape[-1]
+    Mp = ((M + TILE - 1) // TILE) * TILE
+    lp, sgr, sgi = _aa_tf_mse_ml(
+        N, L, pivot, _pad_rows(hr, Mp), _pad_rows(hi, Mp),
+        _pad_rows(gr, Mp), _pad_rows(gi, Mp), _pad_rows(rr, Mp),
+        _pad_rows(ri, Mp), _pad_rows(t, Mp), M)
+    loss = jnp.sum(lp) / (M * N)
+    return loss, (sgr[:, :M], sgi[:, :M], hr, rr, t)
+
+
+def _aa_tf_mse_bwd(N, L, pivot, res, g):
+    sgr, sgi, hr, rr, t = res
+    zh = jnp.zeros_like(hr)
+    zr = jnp.zeros_like(rr)
+    return (zh, zh, g * sgr, -(g * sgi), zr, zr, jnp.zeros_like(t))
+
+
+_aa_tf_mse.defvjp(_aa_tf_mse_fwd, _aa_tf_mse_bwd)
+
+
+def pallas_aa_tf_mse(hr, hi, gr, gi, rr, ri, t, N: int, L: int,
+                     pivot: bool = False):
+    """Fused active-acoustics training-step kernel: the scalar
+
+        Lss = (1/(M N)) sum_{m,i} (|y_mi| - t_mi)^2,
+        y_m = (I_N - H_m G_m)^{-1} r_m
+
+    with its gradient w.r.t. the mixer response rows gr/gi computed in
+    the SAME grid pass (assembly of the rectangular product H G, the
+    N x N solve, the magnitude-MSE cotangent, and one adjoint solve all
+    in vector registers).  The (M, N, N) loop matrix, y, and every
+    intermediate cotangent never touch HBM — only the response ROWS
+    (channels-major (rows, M) layout, bins on lanes) are streamed, which
+    is what makes this fast: the module-graph path's (M, 13, 4)-shaped
+    arrays force XLA into (8, 128)-padded tiles that waste ~30x the
+    bandwidth (profiled 2026-08-17, 9.7 ms/step of 300-570 us pads/
+    copies/fusions).
+
+    hr/hi: (N*L, M) frozen room-response rows, row i*L+j = H[i, j].
+    gr/gi: (L*N, M) mixer-response rows, row j*N+k = G[j, k] — the only
+    differentiable inputs (cotangent = the in-kernel S-numbers; compose
+    with the tap->response matmul outside for tap gradients).
+    rr/ri: (N, M) frozen rhs rows (room x input spectrum).
+    t: (N, M) target magnitude rows.
+    pivot=False reuses the forward no-pivot L/U factors for the adjoint
+    (two substitutions); gate on a finite-loss check like the other
+    no-pivot users."""
+    return _aa_tf_mse(N, L, pivot, hr, hi, gr, gi, rr, ri, t)

@@ -104,20 +104,66 @@ def _build_aa(solve_method: str):
     return model, step, opt_state, inputs, targets
 
 
+def _build_aa_hoisted(k: int, fused: str | None = None):
+    """The bench-default AA paths: 'hoisted' (frozen room response
+    computed once per scan call, models.aa_hoisted_room_step) or the
+    single-pass Pallas step (models.aa_fused_step, fused='fused_np' /
+    'fused')."""
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.models import build_active_acoustics
+    from flamo_tpu.models.active_acoustics import (aa_fused_step,
+                                                   aa_hoisted_room_step)
+
+    flamo_tpu.set_seed(130297)
+    model = build_active_acoustics(n_mics=4, n_loudspeakers=13,
+                                   rir_length=15000, fir_order=100,
+                                   nfft=NFFT, fs=48000, t60=0.5,
+                                   cache_room=False,
+                                   solve_method="ge_cached")
+    M = NFFT // 2 + 1
+    inputs = jnp.zeros((1, NFFT, 13)).at[:, 0, :].set(1.0)
+    targets = jnp.ones((1, M, 4))
+    if fused:
+        hmulti4, opt_state, er, ei = aa_fused_step(
+            model, inputs, targets, pivot=(fused == "fused"))
+        er, ei = jnp.asarray(er), jnp.asarray(ei)
+
+        def multi(m, o, x, t):
+            return hmulti4(m, o, x, t, er, ei, k)
+
+    else:
+        hmulti, opt_state = aa_hoisted_room_step(model, inputs, targets)
+
+        def multi(m, o, x, t):
+            return hmulti(m, o, x, t, k)
+
+    return model, multi, opt_state, inputs, targets
+
+
 def capture(workload: str, solve_method: str, k: int, cache_delays: bool):
     import jax
     from flamo_tpu.utils import host_eager, to_device
 
+    prebuilt_multi = None
     with host_eager():
         if workload == "colorless":
             built = _build_colorless(solve_method, cache_delays)
         elif workload == "attenuated":
             built = _build_attenuated(solve_method)
         elif workload == "aa":
-            built = _build_aa(solve_method)
+            if solve_method in ("hoisted", "fused_np", "fused"):
+                model, prebuilt_multi, opt_state, inputs, targets = \
+                    _build_aa_hoisted(
+                        k, fused=(solve_method if solve_method != "hoisted"
+                                  else None))
+                built = None
+            else:
+                built = _build_aa(solve_method)
         else:
             raise SystemExit(f"unknown workload {workload!r}")
-        model, step, opt_state, inputs, targets = built
+        if built is not None:
+            model, step, opt_state, inputs, targets = built
     model, opt_state, inputs, targets = to_device(
         (model, opt_state, inputs, targets))
 
@@ -130,6 +176,9 @@ def capture(workload: str, solve_method: str, k: int, cache_delays: bool):
         (model, opt_state), losses = jax.lax.scan(
             body, (model, opt_state), None, length=k)
         return model, opt_state, losses[-1]
+
+    if prebuilt_multi is not None:
+        multi = prebuilt_multi
 
     jmulti = jax.jit(multi, donate_argnums=(0, 1))
     model, opt_state, loss = jmulti(model, opt_state, inputs, targets)
@@ -196,14 +245,14 @@ def main():
     ap.add_argument("--solve", default=None,
                     help="colorless: pallas/pallas_tf/pallas_step[_np]/"
                          "ge*; attenuated: fused_np/fused/pallas; "
-                         "aa: ge/ge_cached/pallas")
+                         "aa: hoisted/ge/ge_cached/pallas")
     ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--cache-delays", action=argparse.BooleanOptionalAction,
                     default=True)
     args = ap.parse_args()
     if args.solve is None:
         args.solve = {"colorless": "pallas", "attenuated": "fused_np",
-                      "aa": "ge_cached"}[args.workload]
+                      "aa": "hoisted"}[args.workload]
     if args.k is None:
         args.k = {"colorless": 400, "attenuated": 400, "aa": 20}[
             args.workload]

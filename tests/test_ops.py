@@ -768,3 +768,97 @@ def test_biquad_peq_pallas_cascade_backend(pallas_interpret):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         dsp.Biquad(cascade_backend="bogus")
+
+
+def test_pallas_aa_tf_mse(pallas_interpret):
+    """Fused active-acoustics step kernel: loss value and the mixer-
+    response cotangent vs the dense XLA formula, both pivot modes."""
+    ps = pallas_interpret
+    rng = np.random.default_rng(47)
+    N, L, nfft = 3, 5, 600  # M=301: exercises the padded tail
+    M = nfft // 2 + 1
+    H = jnp.asarray((rng.normal(size=(M, N, L))
+                     + 1j * rng.normal(size=(M, N, L))).astype(np.complex64))
+    # small mixer response: keeps I - H G well-conditioned (the AA init)
+    G = jnp.asarray((0.05 * (rng.normal(size=(M, L, N))
+                             + 1j * rng.normal(size=(M, L, N))))
+                    .astype(np.complex64))
+    X = jnp.asarray((rng.normal(size=(M, L))
+                     + 1j * rng.normal(size=(M, L))).astype(np.complex64))
+    t = jnp.asarray(rng.uniform(size=(M, N)).astype(np.float32))
+
+    def loss_ref(gr, gi):
+        Gc = (gr + 1j * gi).reshape(L, N, M).transpose(2, 0, 1)
+        A = jnp.eye(N, dtype=jnp.complex64)[None] - jnp.einsum(
+            "mil,mlk->mik", H, Gc)
+        rhs = jnp.einsum("mil,ml->mi", H, X)
+        y = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+        return jnp.mean((jnp.abs(y) - t) ** 2)
+
+    hrows = jnp.transpose(H, (1, 2, 0)).reshape(N * L, M)
+    hr, hi = jnp.real(hrows), jnp.imag(hrows)
+    grows = jnp.transpose(G, (1, 2, 0)).reshape(L * N, M)
+    gr, gi = jnp.real(grows), jnp.imag(grows)
+    rhs = jnp.einsum("mil,ml->im", H, X)
+    rr, ri = jnp.real(rhs), jnp.imag(rhs)
+    tt = jnp.transpose(t, (1, 0))
+
+    lr = float(jax.jit(loss_ref)(gr, gi))
+    gref = jax.jit(jax.grad(loss_ref, argnums=(0, 1)))(gr, gi)
+    for pivot in (True, False):
+        def loss_p(gr, gi, pivot=pivot):
+            return ps.pallas_aa_tf_mse(hr, hi, gr, gi, rr, ri, tt,
+                                       N=N, L=L, pivot=pivot)
+
+        lp = float(jax.jit(loss_p)(gr, gi))
+        assert abs(lp - lr) / abs(lr) < 1e-5, pivot
+        gp = jax.jit(jax.grad(loss_p, argnums=(0, 1)))(gr, gi)
+        for i, (a_, b_) in enumerate(zip(gp, gref)):
+            rel = float(jnp.abs(a_ - b_).max() / jnp.abs(b_).max())
+            assert rel < 5e-3, (pivot, i, rel)
+
+
+def test_aa_fused_step_matches_graph(pallas_interpret):
+    """The model-level fused AA step: first scanned loss matches the
+    module-graph loss, and a 3-step trajectory stays in lockstep with an
+    eager graph-path training loop (tap->response basis matmul + kernel
+    adjoint vs autodiff through rfft)."""
+    import optax
+
+    import flamo_tpu
+    from flamo_tpu.core import masked_optimizer
+    from flamo_tpu.models import build_active_acoustics
+    from flamo_tpu.models.active_acoustics import aa_fused_step
+
+    flamo_tpu.set_seed(130297)
+    nfft = 512
+    m = build_active_acoustics(n_mics=2, n_loudspeakers=3, rir_length=200,
+                               fir_order=16, nfft=nfft, fs=48000, t60=0.2,
+                               cache_room=False, solve_method="ge_cached")
+    M = nfft // 2 + 1
+    x = jnp.zeros((1, nfft, 3)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, 2))
+    multi, opt_state, er, ei = aa_fused_step(m, x, t, lr=1e-3)
+    er, ei = jnp.asarray(er), jnp.asarray(ei)
+
+    def graph_loss(m, x, t):
+        return jnp.mean((jnp.abs(m(x)) - t) ** 2)
+
+    lg = float(jax.jit(graph_loss)(m, x, t))
+    lf = float(jax.jit(
+        lambda m, o, x, t, er, ei: multi(m, o, x, t, er, ei, 1)[2])(
+            m, opt_state, x, t, er, ei))
+    assert abs(lf - lg) / abs(lg) < 1e-4
+
+    tx = masked_optimizer(optax.adam(1e-3), m)
+    o2 = tx.init(m)
+    mm = m
+    for _ in range(3):
+        loss, g = jax.value_and_grad(graph_loss)(mm, x, t)
+        up, o2 = tx.update(g, o2, mm)
+        mm = optax.apply_updates(mm, up)
+    l_graph = float(graph_loss(mm, x, t))
+    _, _, last = jax.jit(
+        lambda m, o, x, t, er, ei: multi(m, o, x, t, er, ei, 4))(
+            m, opt_state, x, t, er, ei)
+    assert abs(float(last) - l_graph) / abs(l_graph) < 1e-3
