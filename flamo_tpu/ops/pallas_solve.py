@@ -1172,39 +1172,41 @@ def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
     # so XLA only folds sublanes — the XLA-side grid-axis reduce of
     # (n_tiles, 2P, N*K*sub, 1) partials measured 65 us/step.
     pid = pl.program_id(0)
-    for part, row0, sign in ((0, 0, 1.0), (1, P, -1.0)):
-        qrs = []
-        qis = []
+    qrs = []
+    qis = []
+    # both passes (b: +, a: -) in ONE concatenated array — the sign is
+    # folded into q, halving the reduce count (6 -> P)
+    for part, sign in ((0, 1.0), (1, -1.0)):
         for i in range(N):
             tn = (tnr_ref[i].reshape(shape), tni_ref[i].reshape(shape))
             for k in range(K):
                 sec = all_secs[i][k][part]  # reused from phase 1
                 d = _cabs2(sec)
                 okd = d > 0.0
-                invd = 1.0 / jnp.where(okd, d, 1.0)
+                invd = sign / jnp.where(okd, d, 1.0)
                 qrs.append(jnp.where(okd, (tn[0] * sec[0] + tn[1] * sec[1])
                                      * invd, 0.0))
                 qis.append(jnp.where(okd, (tn[1] * sec[0] - tn[0] * sec[1])
                                      * invd, 0.0))
-        bqr = jnp.concatenate(qrs, axis=0)  # (N*K*sub, 128)
-        bqi = jnp.concatenate(qis, axis=0)
-        reps = len(qrs)
-        vals = [sign * jnp.sum(bqr, axis=1, keepdims=True)]
-        for zp in zs:
-            bzr = jnp.concatenate([zp[0]] * reps, axis=0)
-            bzi = jnp.concatenate([zp[1]] * reps, axis=0)
-            vals.append(sign * jnp.sum(bqr * bzr - bqi * bzi, axis=1,
-                                       keepdims=True))
+    bqr = jnp.concatenate(qrs, axis=0)  # (2*N*K*sub, 128)
+    bqi = jnp.concatenate(qis, axis=0)
+    reps = len(qrs)
+    vals = [jnp.sum(bqr, axis=1, keepdims=True)]
+    for zp in zs:
+        bzr = jnp.concatenate([zp[0]] * reps, axis=0)
+        bzi = jnp.concatenate([zp[1]] * reps, axis=0)
+        vals.append(jnp.sum(bqr * bzr - bqi * bzi, axis=1,
+                            keepdims=True))
 
-        @pl.when(pid == 0)
-        def _init(row0=row0, vals=vals):
-            for p, v in enumerate(vals):
-                tap_ref[0, row0 + p] = v
+    @pl.when(pid == 0)
+    def _init(vals=vals):
+        for p, v in enumerate(vals):
+            tap_ref[0, p] = v
 
-        @pl.when(pid > 0)
-        def _acc(row0=row0, vals=vals):
-            for p, v in enumerate(vals):
-                tap_ref[0, row0 + p] = tap_ref[0, row0 + p] + v
+    @pl.when(pid > 0)
+    def _acc(vals=vals):
+        for p, v in enumerate(vals):
+            tap_ref[0, p] = tap_ref[0, p] + v
 
 
 def _fdn_sos_tf_mse_ml(dr, di, bt, at, u, b, c, xr, xi, t, nfft: int,
@@ -1226,7 +1228,7 @@ def _fdn_sos_tf_mse_ml(dr, di, bt, at, u, b, c, xr, xi, t, nfft: int,
     # tap-cotangent partials: 2*P rows (b then a, per tap power) of
     # (N*K*sub, 1) lane-reduced sums — the caller folds sublanes + grid
     sub = TILE // 128
-    part_spec = pl.BlockSpec((1, 2 * P, N * K * sub, 1),
+    part_spec = pl.BlockSpec((1, P, 2 * N * K * sub, 1),
                              lambda m: (0, 0, 0, 0),
                              memory_space=pltpu.VMEM)
     out_specs = [t_spec,
@@ -1241,7 +1243,7 @@ def _fdn_sos_tf_mse_ml(dr, di, bt, at, u, b, c, xr, xi, t, nfft: int,
                  jax.ShapeDtypeStruct((n_tiles, N, N), dr.dtype),
                  jax.ShapeDtypeStruct((n_tiles, N, 1), dr.dtype),
                  jax.ShapeDtypeStruct((n_tiles, N, 1), dr.dtype),
-                 jax.ShapeDtypeStruct((1, 2 * P, N * K * sub, 1),
+                 jax.ShapeDtypeStruct((1, P, 2 * N * K * sub, 1),
                                       dr.dtype)]
     if with_dbar:
         out_specs += [vec_spec, vec_spec]
@@ -1291,12 +1293,12 @@ def _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, D, bt, at, U, b, c, X, t):
     b_bar = jnp.sum(bbp, axis=0)[:, 0].astype(b.dtype)
     c_bar = jnp.sum(cbp, axis=0)[:, 0].astype(c.dtype)
 
-    # fold the (1, 2P, N*K*sub, 1) lane partials (grid already
-    # accumulated in-kernel): sublane sums only, rows are channel-major
-    # section-minor (see kernel phase 2)
-    folded = tparts[0, ..., 0].reshape(2, P, N, K, TILE // 128)
-    folded = jnp.sum(folded, axis=-1)  # (2, P, N, K)
-    folded = jnp.transpose(folded, (0, 1, 3, 2))  # (2, P, K, N)
+    # fold the (1, P, 2*N*K*sub, 1) lane partials (grid already
+    # accumulated in-kernel): sublane sums only, rows are pass-major
+    # (b then a, sign folded in-kernel), channel-major, section-minor
+    folded = tparts[0, ..., 0].reshape(P, 2, N, K, TILE // 128)
+    folded = jnp.sum(folded, axis=-1)  # (P, 2, N, K)
+    folded = jnp.transpose(folded, (1, 0, 3, 2))  # (2, P, K, N)
     bt_bar = folded[0].astype(bt.dtype)
     at_bar = folded[1].astype(at.dtype)
     if with_dbar:
