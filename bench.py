@@ -468,6 +468,44 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3,
     return sps, fl
 
 
+def measure_evs_grad_calls_per_sec(nbins: int = 1600, n_calls: int = 50):
+    """Eigenvalue-objective training step rate: value_and_grad of the
+    optimize.mse_evs shape (sorted |eig| magnitude MSE over one bin
+    partition of (nbins, 4, 4) loop matrices — the reference
+    e8_active_acoustics.py:564-621 objective at its per-step partition
+    size for M=48001, iter_num=30).
+
+    On the axon tunnel this exercises functional.eigvals_dk (on-device
+    char-poly + Durand-Kerner eig): host callbacks are rejected outright
+    there, so before 2026-08-17 this objective could not train on the
+    TPU at all.  Inputs ship as re/im (complex host->device transfers
+    flake on the tunnel)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from flamo_tpu.functional import eigvals
+
+    rng = np.random.default_rng(0)
+    ar = jnp.asarray(rng.normal(size=(nbins, 4, 4)).astype(np.float32))
+    ai = jnp.asarray(rng.normal(size=(nbins, 4, 4)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(size=(nbins, 4)).astype(np.float32))
+
+    def loss(ar, ai, t):
+        m = jnp.abs(eigvals(jax.lax.complex(ar, ai)))
+        return jnp.mean((jnp.sort(m, axis=-1) - t) ** 2)
+
+    vg = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
+    r = vg(ar, ai, t)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(n_calls):
+        r = vg(ar, ai, t)
+    jax.block_until_ready(r)
+    if not np.isfinite(float(r[0])):
+        raise RuntimeError("evs grad loss not finite")
+    return n_calls / (time.perf_counter() - t0)
+
+
 def measure_n64_solve_ms(n_calls: int = 20):
     """N=64 closed-loop solve fwd+bwd (VERDICT r1 next #9): times the
     fori_loop Gaussian elimination (gauss_solve_loop) against batched LU
@@ -895,6 +933,8 @@ def main():
              _attenuated_best_backend, 2),
             ("active_acoustics_steps_per_sec",
              _aa_best_backend, 2),
+            ("evs_grad_steps_per_sec",
+             measure_evs_grad_calls_per_sec, 1),
         ]:
             vals, last_err = [], None
             for _ in range(reps):

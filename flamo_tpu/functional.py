@@ -6,9 +6,12 @@ that are deliberate TPU-first design:
 * :func:`expm` — ``jax.scipy.linalg.expm`` is unimplemented on this TPU
   backend, so orthogonal maps use a custom scaling-and-squaring matrix
   exponential built from matmuls only (MXU-friendly, differentiable).
-* :func:`get_eigenvalues` — nonsymmetric eigvals are not TPU-supported in
-  XLA; analysis paths run through ``jax.pure_callback`` to CPU LAPACK
-  (no-grad, off the hot loop), as planned in SURVEY.md §7.
+* :func:`get_eigenvalues` / :func:`eigvals` — nonsymmetric eigvals are
+  not TPU-supported in XLA; where host callbacks work they route through
+  ``jax.pure_callback`` to CPU LAPACK, and on backends that reject
+  callbacks (the axon TPU plugin) small-N matrices use the fully
+  on-device char-poly solver :func:`eigvals_dk` (Faddeev–LeVerrier +
+  Durand–Kerner with an implicit-function VJP).
 * low-order polynomial responses are evaluated directly at
   ``z = e^{-j omega}`` instead of zero-padded rffts (identical values,
   O(M) elementwise work that XLA fuses on the VPU).
@@ -18,6 +21,8 @@ from __future__ import annotations
 
 import math
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,7 +31,9 @@ from flamo_tpu.core import complex_dtype_for
 from flamo_tpu.utils import RegularGridInterpolator, next_key, to_complex
 
 __all__ = [
-    "get_magnitude", "get_eigenvalues", "eigvals", "spectral_radius",
+    "get_magnitude", "get_eigenvalues", "eigvals", "eigvals_dk",
+    "eigvals_lapack",
+    "charpoly", "poly_roots", "spectral_radius",
     "skew_matrix",
     "expm", "expm_skew",
     "get_frequency_samples", "hadamard_matrix_jnp", "HadamardMatrix",
@@ -53,17 +60,47 @@ def _np_eigvals(x):
     )
 
 
+#: largest N routed to the on-device char-poly eigensolver where host
+#: callbacks are unavailable (accuracy verified to ~5e-7 rel at N <= 8
+#: for well-separated spectra; the char-poly route degrades with N)
+EIG_DK_MAX_N = 8
+
+
+def _callbacks_unsupported() -> bool:
+    """The axon tunnel's PJRT plugin rejects host callbacks outright
+    ("axon_pjrt does not support host send/recv callbacks", verified
+    2026-08-17) — LAPACK eig is unreachable there.  The plugin reports
+    platform 'tpu'; 'axon' only shows in client.platform_version."""
+    if jax.default_backend() == "cpu":
+        return False
+    if jax.default_backend() == "axon":
+        return True
+    try:
+        pv = jax.devices()[0].client.platform_version
+    except Exception:  # pragma: no cover - exotic backends
+        return False
+    return "axon" in pv.lower()
+
+
 def get_eigenvalues(x):
     """Eigenvalues of (..., N, N) (reference functional.py:24-39).
 
     Nonsymmetric eig is not available in XLA on TPU; this routes through a
     host callback (analysis-only, not differentiable) — SURVEY.md §7 hard
-    part #2.
+    part #2.  On backends that reject host callbacks (axon) small N
+    reroutes to the on-device :func:`eigvals_dk`.
     """
     x = jnp.asarray(x)
     assert x.shape[-1] == x.shape[-2]
     if x.shape[-1] == 1:
         return x
+    if _callbacks_unsupported():
+        if x.shape[-1] <= EIG_DK_MAX_N:
+            return jax.lax.stop_gradient(eigvals_dk(x))
+        raise NotImplementedError(
+            f"nonsymmetric eig of N={x.shape[-1]} on the '{jax.default_backend()}' "
+            f"backend: host callbacks are unsupported and the on-device "
+            f"char-poly solver is gated to N <= {EIG_DK_MAX_N}")
     out_dtype = complex_dtype_for(x.real.dtype)
     result_shape = jax.ShapeDtypeStruct(x.shape[:-1], out_dtype)
     return jax.pure_callback(_np_eigvals, result_shape, x, vmap_method="expand_dims")
@@ -88,7 +125,7 @@ def _eig_pair(A):
 
 
 @jax.custom_vjp
-def eigvals(A):
+def eigvals_lapack(A):
     """Differentiable eigenvalues of ``(..., N, N)`` matrices.
 
     Nonsymmetric eig has no XLA lowering on TPU and no JAX autodiff rule
@@ -126,7 +163,32 @@ def _eigvals_bwd(res, w_bar):
     return (A_bar.astype(in_dtype),)
 
 
-eigvals.defvjp(_eigvals_fwd, _eigvals_bwd)
+eigvals_lapack.defvjp(_eigvals_fwd, _eigvals_bwd)
+
+
+def eigvals(A):
+    """Differentiable eigenvalues of ``(..., N, N)`` matrices.
+
+    Dispatches per backend (trace-time static check): LAPACK through a
+    host callback with the closed-form eigvector VJP
+    (:func:`eigvals_lapack`) where callbacks work, and the fully
+    on-device char-poly solver (:func:`eigvals_dk`) on backends that
+    reject host callbacks (the axon TPU tunnel) for N <= EIG_DK_MAX_N.
+    Both are exact-gradient for simple spectra; eigenvalue ORDER is
+    backend-dependent (LAPACK vs Durand-Kerner iteration order) — treat
+    the result as a set (sort, or use symmetric functions), which is
+    what every in-tree consumer (optimize.mse_evs, GBI analysis) does.
+    """
+    A = jnp.asarray(A)
+    if _callbacks_unsupported():
+        if A.shape[-1] <= EIG_DK_MAX_N:
+            return eigvals_dk(A)
+        raise NotImplementedError(
+            f"differentiable eig of N={A.shape[-1]} on the "
+            f"'{jax.default_backend()}' backend: host callbacks are "
+            f"unsupported and the on-device char-poly solver is gated "
+            f"to N <= {EIG_DK_MAX_N}")
+    return eigvals_lapack(A)
 
 
 def spectral_radius(A, iters: int = 64, tail: int = 8):
@@ -166,6 +228,142 @@ def spectral_radius(A, iters: int = 64, tail: int = 8):
     _, ratios = jax.lax.scan(step, v0, None, length=iters)
     tail = min(tail, iters)
     return jnp.exp(jnp.mean(jnp.log(ratios[-tail:] + 1e-30), axis=0))
+
+
+def charpoly(A):
+    """Characteristic-polynomial coefficients of ``(..., N, N)`` matrices
+    by the Faddeev–LeVerrier recursion (N batched matmuls + traces —
+    MXU-friendly, differentiable, jittable).
+
+    Returns ``c`` of shape ``(..., N)`` such that
+    ``p(z) = z^N + c[0] z^{N-1} + ... + c[N-1]``  (monic, leading 1
+    implicit)."""
+    A = jnp.asarray(A)
+    N = A.shape[-1]
+    eye = jnp.eye(N, dtype=A.dtype)
+    Mk = A
+    cs = []
+    c = -jnp.trace(Mk, axis1=-2, axis2=-1)
+    cs.append(c)
+    for k in range(2, N + 1):
+        # HIGHEST precision: the TPU's default bf16 matmul passes put
+        # ~1e-3 on the coefficients (and hence the roots — measured
+        # on-chip 2026-08-17: median root err 1.45e-3 with perfectly
+        # converged residuals); the matrices are tiny, so exact f32 is
+        # free
+        Mk = jnp.matmul(A, Mk + c[..., None, None] * eye,
+                        precision=jax.lax.Precision.HIGHEST)
+        c = -jnp.trace(Mk, axis1=-2, axis2=-1) / k
+        cs.append(c)
+    return jnp.stack(cs, axis=-1)
+
+
+def _dk_iterate(c, iters: int):
+    """Durand–Kerner (Weierstrass) simultaneous root iteration for monic
+    polynomials with coefficient rows ``c`` (..., N)."""
+    N = c.shape[-1]
+    cd = c.dtype
+    # start on a circle at the Cauchy-ish radius with an irrational angle
+    # offset (breaks symmetric stalls); generic for all but measure-zero c
+    R = 1.0 + jnp.max(jnp.abs(c), axis=-1)
+    ang = 2.0 * jnp.pi * (jnp.arange(N) + 0.354) / N
+    z = (0.9 * R[..., None]).astype(cd) * jnp.exp(
+        1j * ang.astype(c.real.dtype)).astype(cd)
+
+    def p_of(z):
+        # monic Horner over the trailing coefficient axis, broadcast
+        # over the N root slots
+        acc = jnp.ones(z.shape, cd)
+        for k in range(N):
+            acc = acc * z + c[..., None, k]
+        return acc
+
+    # the scan carry is a re/im REAL pair: complex leaves carried
+    # through lax.scan hit backend UNIMPLEMENTED on the axon tunnel
+    # (same dodge as dsp.CachedResponse)
+    def body(carry, _):
+        z = jax.lax.complex(carry[0], carry[1])
+        pz = p_of(z)
+        diff = z[..., :, None] - z[..., None, :]
+        diff = diff + jnp.eye(N, dtype=cd)  # self-term -> 1
+        denom = jnp.prod(diff, axis=-1)
+        ok = jnp.abs(denom) > 0.0
+        step = pz / jnp.where(ok, denom, 1.0)
+        z = z - jnp.where(ok, step, 0.0)
+        return (jnp.real(z), jnp.imag(z)), None
+
+    (zr, zi), _ = jax.lax.scan(body, (jnp.real(z), jnp.imag(z)), None,
+                               length=iters)
+    return jax.lax.complex(zr, zi)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def poly_roots(c, iters: int = 96):
+    """All complex roots of the monic polynomial(s)
+    ``z^N + c[..., 0] z^{N-1} + ... + c[..., N-1]`` by batched
+    Durand–Kerner iteration — elementwise complex arithmetic only, so it
+    runs inside jit/vmap/grad on TPU where LAPACK is unreachable.
+
+    The VJP is the implicit-function-theorem pullback at the converged
+    roots: ``dz_i/dc_k = -z_i^{N-1-k} / prod_{j != i} (z_i - z_j)``
+    (exact for simple roots; repeated roots have unbounded sensitivity —
+    same contract as :func:`eigvals`).  Root order is arbitrary
+    (iteration order, NOT LAPACK order)."""
+    return _dk_iterate(jnp.asarray(c), iters)
+
+
+def _poly_roots_fwd(c, iters: int = 96):
+    z = _dk_iterate(jnp.asarray(c), iters)
+    return z, (z, jnp.asarray(c))
+
+
+def _poly_roots_bwd(iters, res, z_bar):
+    z, c = res
+    N = c.shape[-1]
+    cd = c.dtype
+    diff = z[..., :, None] - z[..., None, :]
+    diff = diff + jnp.eye(N, dtype=cd)
+    dp = jnp.prod(diff, axis=-1)  # p'(z_i) for monic p, from the roots
+    ok = jnp.abs(dp) > 0.0
+    w = z_bar / jnp.where(ok, dp, 1.0)
+    w = jnp.where(ok, w, 0.0)
+    # powers z_i^{N-1-k}, k = 0..N-1
+    pw = jnp.stack([z ** (N - 1 - k) for k in range(N)], axis=-1)
+    # JAX cotangents transform by the unconjugated transpose
+    c_bar = -jnp.sum(w[..., :, None] * pw, axis=-2)
+    return (c_bar.astype(cd),)
+
+
+poly_roots.defvjp(_poly_roots_fwd, _poly_roots_bwd)
+
+
+def eigvals_dk(A, iters: int = 96):
+    """Fully on-device differentiable eigenvalues of small ``(..., N, N)``
+    matrices: :func:`charpoly` (Faddeev–LeVerrier) + :func:`poly_roots`
+    (Durand–Kerner), composed under jit/vmap/grad with no host callback —
+    the axon TPU backend rejects host callbacks outright
+    (``axon_pjrt does not support host send/recv callbacks``), so this is
+    the only way to TRAIN eigenvalue objectives (optimize.mse_evs,
+    reference e8_active_acoustics.py:564-621) on that hardware.
+
+    The matrix is spectrum-centered and scaled before the coefficient
+    recursion (``B = (A - mu I)/s``) to tame the characteristic
+    polynomial's conditioning; accuracy is the char-poly root floor:
+    ~1e-5 rel for well-separated f32 spectra at N <= 8, degrading for
+    clustered roots (use :func:`eigvals` / LAPACK where callbacks work
+    and bitwise parity matters).  Root order is arbitrary — compare
+    sorted or through symmetric functions."""
+    A = jnp.asarray(A)
+    cd = complex_dtype_for(A.real.dtype)
+    A = A.astype(cd)
+    N = A.shape[-1]
+    mu = jnp.trace(A, axis1=-2, axis2=-1) / N
+    B = A - mu[..., None, None] * jnp.eye(N, dtype=cd)
+    s = jnp.maximum(jnp.sqrt(jnp.sum(jnp.abs(B) ** 2, axis=(-2, -1)) / N),
+                    1e-30)
+    B = B / s[..., None, None]
+    z = poly_roots(charpoly(B), iters)
+    return z * s[..., None].astype(cd) + mu[..., None]
 
 
 def skew_matrix(X):

@@ -343,11 +343,16 @@ def closed_loop_solve(A: jax.Array, B: jax.Array, method: str = "ge") -> jax.Arr
             return jnp.linalg.solve(A, B[..., None])[..., 0]
         return jnp.linalg.solve(A, B)
     if A.shape[-1] > 32:
-        # the experimental 'axon' tunnel backend raises UNIMPLEMENTED on
-        # (even trivial) fori_loop programs like gauss_solve_loop, same as
-        # it hangs on Mosaic; its batched LU works, so route there.  This
-        # is a trace-time (static) platform check.
-        if jax.default_backend() == "axon":
+        # The experimental 'axon' tunnel backend historically raised
+        # UNIMPLEMENTED on (even trivial) fori_loop programs like
+        # gauss_solve_loop; re-tested 2026-08-17 it RUNS and beats
+        # batched LU 1.4x fwd+bwd (bench n64_ge_loop_ms 0.039 vs
+        # n64_lu_ms 0.054).  bench emits that record every run; if the
+        # tunnel regresses, set FLAMO_TPU_N64_LU=1 to reroute to LU
+        # (trace-time static check).
+        import os
+
+        if os.environ.get("FLAMO_TPU_N64_LU"):
             if B.ndim == A.ndim - 1:
                 return jnp.linalg.solve(A, B[..., None])[..., 0]
             return jnp.linalg.solve(A, B)

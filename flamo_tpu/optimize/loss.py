@@ -233,8 +233,10 @@ class mse_evs:
     evaluates one partition of ``ceil(freq_points/iter_num)`` bins so every
     bin is seen once per cycle, exactly like the reference; the
     eigendecomposition is differentiated through
-    :func:`flamo_tpu.functional.eigvals` (host-callback eig with a
-    closed-form VJP — torch.linalg.eigvals autograd has no XLA/TPU
+    :func:`flamo_tpu.functional.eigvals` (backend-dispatched:
+    host-callback LAPACK eig with a closed-form eigvector VJP where
+    callbacks work, the fully on-device char-poly solver `eigvals_dk`
+    on the axon TPU — torch.linalg.eigvals autograd has no XLA/TPU
     counterpart)."""
 
     name = "MSE_evs"

@@ -234,3 +234,88 @@ def test_find_onset():
         size=200).astype(np.float32) * np.exp(-np.arange(200) / 40)
     est = F.find_onset(jnp.asarray(rir))
     assert abs(est - onset) < 64  # within one window of the true onset
+
+
+def _match_sets(a, b):
+    """Greedy max abs-error between two eigenvalue sets (order-free —
+    sort ties on conjugate pairs flip between backends)."""
+    import numpy as np
+
+    rows_err = []
+    a = np.asarray(a).reshape(-1, a.shape[-1])
+    b = np.asarray(b).reshape(-1, b.shape[-1])
+    for ra, rb in zip(a, b):
+        pool = list(rb)
+        worst = 0.0
+        for z in ra:
+            j = int(np.argmin(np.abs(np.array(pool) - z)))
+            worst = max(worst, abs(pool.pop(j) - z))
+        rows_err.append(worst / max(1e-30, np.abs(rb).max()))
+    return max(rows_err)
+
+
+def test_charpoly_matches_numpy():
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    A = (rng.normal(size=(7, 5, 5))
+         + 1j * rng.normal(size=(7, 5, 5))).astype(np.complex64)
+    c = np.asarray(jax.jit(F.charpoly)(jnp.asarray(A)))
+    for i in range(7):
+        ref = np.poly(A[i])  # monic coefficients incl. leading 1
+        rel = np.abs(c[i] - ref[1:]).max() / np.abs(ref).max()
+        assert rel < 1e-5, (i, rel)
+
+
+def test_eigvals_dk_matches_lapack():
+    """On-device char-poly eigensolver vs LAPACK over complex AND real
+    batches for every gated N (real matrices carry conjugate pairs whose
+    sort order flips between backends — matched as sets)."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for N in range(2, F.EIG_DK_MAX_N + 1):
+        Ac = (rng.normal(size=(40, N, N))
+              + 1j * rng.normal(size=(40, N, N))).astype(np.complex64)
+        Ar = rng.normal(size=(40, N, N)).astype(np.float32)
+        for A in (Ac, Ar):
+            ref = np.linalg.eigvals(A)
+            dk = np.asarray(jax.jit(F.eigvals_dk)(jnp.asarray(A)))
+            assert dk.shape == ref.shape
+            err = _match_sets(dk, ref)
+            assert err < 1e-4, (N, A.dtype, err)
+
+
+def test_eigvals_dk_grad_matches_callback():
+    """poly_roots' implicit-function VJP vs the LAPACK eigvector VJP
+    through an order-free loss (sorted magnitudes — the mse_evs shape)."""
+    import numpy as np
+
+    rng = np.random.default_rng(12)
+    A = jnp.asarray((rng.normal(size=(6, 4, 4))
+                     + 1j * rng.normal(size=(6, 4, 4))).astype(np.complex64))
+    t = jnp.asarray(rng.uniform(size=(6, 4)).astype(np.float32))
+
+    def loss(eig_fn, A):
+        m = jnp.sort(jnp.abs(eig_fn(A)), axis=-1)
+        return jnp.mean((m - t) ** 2)
+
+    l_dk = float(loss(F.eigvals_dk, A))
+    l_cb = float(loss(F.eigvals_lapack, A))
+    assert abs(l_dk - l_cb) / abs(l_cb) < 1e-5
+    g_dk = jax.grad(lambda A: loss(F.eigvals_dk, A))(A)
+    g_cb = jax.grad(lambda A: loss(F.eigvals_lapack, A))(A)
+    rel = float(jnp.abs(g_dk - g_cb).max() / jnp.abs(g_cb).max())
+    assert rel < 5e-3, rel
+
+    # real input: gradient must stay real (tangent-space projection)
+    Ar = jnp.asarray(rng.normal(size=(4, 3, 3)).astype(np.float32))
+    tr = jnp.asarray(rng.uniform(size=(4, 3)).astype(np.float32))
+
+    def loss_r(A):
+        m = jnp.sort(jnp.abs(F.eigvals_dk(A)), axis=-1)
+        return jnp.mean((m - tr) ** 2)
+
+    gr = jax.grad(loss_r)(Ar)
+    assert gr.dtype == Ar.dtype
+    assert bool(jnp.all(jnp.isfinite(gr)))
