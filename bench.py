@@ -468,6 +468,51 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3,
     return sps, fl
 
 
+def measure_aa_evs_train_steps_per_sec(k: int = 100, n_calls: int = 3,
+                                       iter_num: int = 30):
+    """The reference's TRUE active-acoustics training workload
+    (BASELINE.md line 20: 4 mics x 13 loudspeakers, RIR 15000, FIR 100,
+    nfft 96000, EIGENVALUE loss — e8_active_acoustics.py:671-739):
+    mse_evs over cycling 1601-bin partitions of the F_MM loop matrix,
+    trainee U.  Runs models.aa_evs_train_step — linop-composed
+    partition spectrum + the on-device char-poly eig (the axon TPU
+    rejects host callbacks, so this objective was untrainable on that
+    hardware before 2026-08-17)."""
+    import jax
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.models.active_acoustics import (ActiveAcoustics,
+                                                   aa_evs_train_step)
+    from flamo_tpu.utils import host_eager, to_device
+
+    flamo_tpu.set_seed(130297)
+    M = NFFT // 2 + 1
+    with host_eager():
+        aa = ActiveAcoustics(n_S=1, n_M=4, n_L=13, n_A=1, nfft=NFFT,
+                             FIR_order=100, rir_length=15000,
+                             wgn_RT=1.0, room_t60=0.5)
+        tg = jnp.full((M, 4), 0.3, dtype=jnp.float32)
+        multi, opt_state, er, ei = aa_evs_train_step(aa, tg, lr=1e-3,
+                                                     iter_num=iter_num)
+        m = aa.F_MM
+    m, opt_state, er, ei, tg = to_device((m, opt_state,
+                                          jnp.asarray(er), jnp.asarray(ei),
+                                          tg))
+    jm = jax.jit(lambda m, o, er, ei, tg, s: multi(m, o, er, ei, tg, s, k),
+                 donate_argnums=(0, 1))
+    m, opt_state, loss = jm(m, opt_state, er, ei, tg, 0)
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for c in range(1, n_calls + 1):
+        m, opt_state, loss = jm(m, opt_state, er, ei, tg, c * k)
+    jax.block_until_ready(loss)
+    sps = n_calls * k / (time.perf_counter() - t0)
+    fl = float(loss)
+    if not (fl == fl and 0.0 <= fl < 1e3):
+        raise RuntimeError(f"aa evs loss degenerated: {fl}")
+    return sps
+
+
 def measure_evs_grad_calls_per_sec(nbins: int = 1600, n_calls: int = 50):
     """Eigenvalue-objective training step rate: value_and_grad of the
     optimize.mse_evs shape (sorted |eig| magnitude MSE over one bin
@@ -935,6 +980,8 @@ def main():
              _aa_best_backend, 2),
             ("evs_grad_steps_per_sec",
              measure_evs_grad_calls_per_sec, 1),
+            ("aa_evs_train_steps_per_sec",
+             measure_aa_evs_train_steps_per_sec, 1),
         ]:
             vals, last_err = [], None
             for _ in range(reps):

@@ -441,3 +441,89 @@ def aa_fused_step(model: system.Shell, inputs, targets, lr: float = 1e-3,
         return m, o, losses[-1]
 
     return multi, opt_state, er, ei
+
+
+def aa_evs_train_step(aa: "ActiveAcoustics", target_evs, lr: float = 1e-3,
+                      iter_num: int = 30, key=None):
+    """Build (jittable_multi, opt_state, er, ei) for the reference's TRUE
+    active-acoustics training objective: eigenvalue-magnitude MSE over
+    cycling bin partitions of the feedback-loop matrix
+    (optimize.mse_evs semantics, reference
+    e8_active_acoustics.py:564-621, 671-739 — trainee is the virtual
+    room's FIR matrix ``U``).
+
+    Fully on-device: the loop matrix is composed per partition with
+    linop algebra (``F_MM[idx] = H_LM[idx] diag((R G)[idx]) U(idx)``,
+    where ``U(idx)`` comes from one MXU matmul of the taps against the
+    partition's slice of the rfft DFT basis — the module-graph path
+    computes all M bins and masks), and the eigendecomposition runs
+    through :func:`flamo_tpu.functional.eigvals_dk` — the axon TPU
+    rejects host callbacks, so this objective could not previously
+    train on that hardware at all.
+
+    ``multi(m, o, er, ei, tg, step0, k)`` scans ``k`` steps starting at
+    global step index ``step0`` (the partition cycles with the step
+    index, matching mse_evs).  ``m`` is the F_MM shell; only trainable
+    leaves (U) receive updates (masked Adam)."""
+    import optax
+
+    from flamo_tpu.core import masked_optimizer
+    from flamo_tpu.functional import eigvals_dk
+    from flamo_tpu.optimize.utils import generate_partitions
+
+    model = aa.F_MM
+    core = model.get_core()
+    U = core["U"]
+    nfft = model.nfft
+    M = nfft // 2 + 1
+    order, n_L, n_M = U.param.shape
+    n_samples = int(np.ceil(M / iter_num))
+    masks = generate_partitions(jnp.arange(M), n_samples, 1, key=key)
+
+    tx = masked_optimizer(optax.adam(lr), model)
+    opt_state = tx.init(model)
+    er, ei = aa_dft_basis(order, nfft)
+    hp = jax.lax.Precision.HIGHEST
+
+    def multi(m, o, er, ei, tg, step0, k):
+        core = m.get_core()
+        # frozen per-call hoists: H_LM rows and the diag(R)*diag(G) row
+        kH, H = core["H_LM"].matrix_response()
+        from flamo_tpu.ops import linop
+
+        H = jax.lax.stop_gradient(
+            linop.materialize(kH, H, M, n_M, n_L))  # (M, n_M, n_L)
+        kR, R = core["R"].matrix_response()
+        kG, G = core["G"].matrix_response()
+        assert kR == linop.DIAG and kG == linop.DIAG
+        rg = jax.lax.stop_gradient(
+            jnp.broadcast_to(R * G, (M, n_L)))  # (M, n_L)
+
+        def step_loss(mm, i):
+            idx = masks[i % masks.shape[0]]
+            Um = mm.get_core()["U"]
+            env = jnp.asarray(Um.gamma, Um.param.dtype) ** jnp.arange(
+                order, dtype=Um.param.dtype)
+            taps = Um.ir(Um.param) * env[:, None, None]
+            Ui = jnp.stack([jnp.matmul(taps.reshape(order, -1).T,
+                                       e[:, idx], precision=hp)
+                            for e in (er, ei)], -1)  # (L*n_M, P, 2)
+            Ui = jax.lax.complex(Ui[..., 0], Ui[..., 1]).reshape(
+                n_L, n_M, -1).transpose(2, 0, 1)  # (P, n_L, n_M)
+            fm = jnp.einsum("pml,pln->pmn", H[idx] * rg[idx][:, None, :],
+                            Ui, precision=hp)  # (P, n_M, n_M)
+            evs = jnp.sort(jnp.abs(eigvals_dk(fm)), axis=-1)
+            tgt = jnp.sort(tg[idx], axis=-1)
+            return jnp.mean((evs - tgt) ** 2)
+
+        def body(carry, i):
+            mm, oo = carry
+            loss, g = jax.value_and_grad(step_loss)(mm, i)
+            up, oo = tx.update(g, oo, mm)
+            return (optax.apply_updates(mm, up), oo), loss
+
+        (m, o), losses = jax.lax.scan(body, (m, o),
+                                      step0 + jnp.arange(k))
+        return m, o, losses[-1]
+
+    return multi, opt_state, er, ei

@@ -155,3 +155,40 @@ def test_active_acoustics_trains_mse_evs():
     assert tr.train_loss[-1] < tr.train_loss[0]
     aa.adopt(tr.net)
     assert np.isfinite(float(aa.get_current_GBI()))
+
+
+def test_aa_evs_train_step_matches_mse_evs():
+    """The linop-composed eigenvalue training step (aa_evs_train_step)
+    matches the module-graph F_MM forward + optimize.mse_evs loss on the
+    full spectrum (iter_num=1: identical single partition), and training
+    decreases the loss over partition cycles."""
+    import flamo_tpu
+    from flamo_tpu.models.active_acoustics import (ActiveAcoustics,
+                                                   aa_evs_train_step)
+    from flamo_tpu.optimize.loss import mse_evs
+
+    flamo_tpu.set_seed(42)
+    aa = ActiveAcoustics(n_S=1, n_M=2, n_L=3, n_A=1, nfft=512, FIR_order=8,
+                         rir_length=128, wgn_RT=0.1, room_t60=0.1)
+    M = 512 // 2 + 1
+    tg = jnp.full((M, 2), 0.3, dtype=jnp.float32)
+
+    x = jnp.zeros((1, 512, 2)).at[:, 0, :].set(1.0)
+    y_pred = aa.F_MM(x)
+    crit1 = mse_evs(iter_num=1, freq_points=M)
+    l_ref = float(crit1(y_pred, tg[None], step=0))
+
+    multi1, opt1, er1, ei1 = aa_evs_train_step(aa, tg, lr=1e-3, iter_num=1)
+    er1, ei1 = jnp.asarray(er1), jnp.asarray(ei1)
+    l_cmp = float(jax.jit(
+        lambda m, o, er, ei, tg: multi1(m, o, er, ei, tg, 0, 1)[2])(
+            aa.F_MM, opt1, er1, ei1, tg))
+    assert abs(l_cmp - l_ref) / abs(l_ref) < 1e-4
+
+    multi, opt_state, er, ei = aa_evs_train_step(aa, tg, lr=1e-3, iter_num=4)
+    er, ei = jnp.asarray(er), jnp.asarray(ei)
+    run = jax.jit(lambda m, o, er, ei, tg, k: multi(m, o, er, ei, tg, 0, k),
+                  static_argnums=(5,))
+    l0 = float(run(aa.F_MM, opt_state, er, ei, tg, 1)[2])
+    l40 = float(run(aa.F_MM, opt_state, er, ei, tg, 40)[2])
+    assert l40 < l0
