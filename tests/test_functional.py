@@ -319,3 +319,23 @@ def test_eigvals_dk_grad_matches_callback():
     gr = jax.grad(loss_r)(Ar)
     assert gr.dtype == Ar.dtype
     assert bool(jnp.all(jnp.isfinite(gr)))
+
+
+def test_eigvals_dk_repeated_spectra_degrade_gracefully():
+    """Repeated/defective spectra have unbounded eig sensitivity (same
+    contract as LAPACK-VJP eigvals); the DK solver must still return
+    finite roots at the theoretically-expected accuracy: exact for a
+    pure Jordan block (centering reduces its char-poly to z^N), ~sqrt(eps)
+    clustering for a diagonalizable double root."""
+    import numpy as np
+
+    J = jnp.asarray(np.array([[2, 1, 0], [0, 2, 1], [0, 0, 2]], np.float32))
+    w = np.asarray(F.eigvals_dk(J))
+    assert np.all(np.isfinite(w.view(np.float32)))
+    assert np.abs(w - 2.0).max() < 1e-5
+
+    D = jnp.asarray(np.diag([1.0, 1.0, 3.0]).astype(np.float32))
+    w2 = np.sort_complex(np.asarray(F.eigvals_dk(D)))
+    assert np.all(np.isfinite(w2.view(np.float32)))
+    assert abs(w2[-1] - 3.0) < 1e-5
+    assert np.abs(w2[:2] - 1.0).max() < 5e-3  # double root: O(sqrt(eps))
