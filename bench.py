@@ -566,31 +566,38 @@ def measure_n64_solve_ms(n_calls: int = 20):
 
     M, N = 3001, 64
     rng = np.random.default_rng(0)
+    # operands ship as REAL re/im parts and are combined in-jit: complex
+    # host->device transfers flake on the tunnel (CLAUDE.md), and the
+    # failure then masquerades as a solver error at fetch time
     phase = rng.uniform(0, 2 * np.pi, (M, N))
-    D = jnp.asarray((0.9 * np.exp(1j * phase)).astype(np.complex64))
+    Dn = (0.9 * np.exp(1j * phase)).astype(np.complex64)
     W = rng.normal(size=(N, N)).astype(np.float32)
-    W = np.linalg.qr(W)[0]
-    A = (jnp.eye(N, dtype=jnp.complex64)[None]
-         - D[:, :, None] * jnp.asarray(W)[None].astype(jnp.complex64))
-    B = jnp.asarray((rng.normal(size=(M, N))
-                     + 1j * rng.normal(size=(M, N))).astype(np.complex64))
+    W = np.linalg.qr(W)[0].astype(np.float32)
+    An = (np.eye(N, dtype=np.complex64)[None]
+          - Dn[:, :, None] * W[None].astype(np.complex64))
+    Bn = (rng.normal(size=(M, N))
+          + 1j * rng.normal(size=(M, N))).astype(np.complex64)
+    ar, ai = jnp.asarray(An.real.copy()), jnp.asarray(An.imag.copy())
+    br, bi = jnp.asarray(Bn.real.copy()), jnp.asarray(Bn.imag.copy())
 
-    def loss_ge(A, B):
-        return jnp.sum(jnp.abs(gauss_solve_loop(A, B)) ** 2)
+    def loss_ge(ar, ai, br, bi):
+        return jnp.sum(jnp.abs(gauss_solve_loop(
+            jax.lax.complex(ar, ai), jax.lax.complex(br, bi))) ** 2)
 
-    def loss_lu(A, B):
-        return jnp.sum(jnp.abs(
-            jnp.linalg.solve(A, B[..., None])[..., 0]) ** 2)
+    def loss_lu(ar, ai, br, bi):
+        return jnp.sum(jnp.abs(jnp.linalg.solve(
+            jax.lax.complex(ar, ai),
+            jax.lax.complex(br, bi)[..., None])[..., 0]) ** 2)
 
     out = {}
     for name, fn in (("n64_ge_loop_ms", loss_ge), ("n64_lu_ms", loss_lu)):
         try:
-            vg = jax.jit(jax.value_and_grad(fn, argnums=(0, 1)))
-            r = vg(A, B)
+            vg = jax.jit(jax.value_and_grad(fn, argnums=(0, 1, 2, 3)))
+            r = vg(ar, ai, br, bi)
             jax.block_until_ready(r)
             t0 = time.perf_counter()
             for _ in range(n_calls):
-                r = vg(A, B)
+                r = vg(ar, ai, br, bi)
             jax.block_until_ready(r)
             out[name] = round((time.perf_counter() - t0) / n_calls * 1e3, 3)
         except Exception as e:  # pragma: no cover - backend-dependent
