@@ -926,6 +926,38 @@ def _sos_cascade_call(b, a, nfft, M_true, backward, g=None):
     return fold(bb), fold(ab)
 
 
+def _sos_bwd_rows(b, a, gr, gi, nfft: int, M_true: int):
+    """Tap cotangents from PRE-FORMED Gam-cotangent rows (N, Mp) —
+    the standalone backward kernel of :func:`pallas_sos_cascade`, used
+    by the hybrid attenuated step (fuse_taps=False).  Returns
+    (bt_bar, at_bar) each (P, K, N)."""
+    P, K, N = b.shape
+    Mp = gr.shape[-1]
+    n_tiles = Mp // TILE
+    grid = (n_tiles,)
+    coef_spec = pl.BlockSpec((P, K, N), lambda m: (0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    vec_spec = pl.BlockSpec((N, TILE), lambda m: (0, m),
+                            memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((1, N * K, P), lambda m: (m, 0, 0),
+                             memory_space=pltpu.VMEM)
+    bb, ab = pl.pallas_call(
+        partial(_sos_cascade_bwd_kernel, P, K, N, nfft, M_true),
+        grid=grid,
+        in_specs=[coef_spec, coef_spec, vec_spec, vec_spec],
+        out_specs=[part_spec, part_spec],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, N * K, P), jnp.float32)]
+        * 2,
+        interpret=_interpret(),
+    )(b, a, gr, gi)
+
+    def fold(x):
+        s = jnp.sum(x, axis=0).reshape(N, K, P)
+        return jnp.transpose(s, (2, 1, 0))
+
+    return fold(bb), fold(ab)
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
 def pallas_sos_cascade(b, a, nfft):
     """Guarded SOS-cascade frequency response in ONE Pallas kernel:
@@ -994,11 +1026,11 @@ def _cascade_tile(b_ref, a_ref, n, z, P, K, shape, keep_secs=False):
 
 
 def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
-                           with_dbar: bool, pivot: bool,
+                           with_dbar: bool, pivot: bool, fuse_taps: bool,
                            dr_ref, di_ref, bt_ref, at_ref, u_ref,
                            b_ref, c_ref, xr_ref, xi_ref, t_ref,
                            loss_ref, ub_ref, bb_ref, cb_ref,
-                           tap_ref, *rest_refs):
+                           *rest_refs):
     """One bin-tile of the attenuated-FDN loss-and-gradients:
 
         Gam_mn = prod_k B_kn(z_m) / prod_k A_kn(z_m)      (SOS attenuation)
@@ -1040,13 +1072,25 @@ def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
     partials); XLA folds the 8 sublane partials and the grid axis.  tn
     is handed phase1->phase2 through an explicit VMEM scratch (the
     trailing two refs) — measured neutral, kept for the bounded live
-    set."""
-    if with_dbar:
-        dbar_refs = rest_refs[:2]
-        tnr_ref, tni_ref = rest_refs[2:]
+    set.
+
+    fuse_taps=False drops phase 2: the kernel emits the per-channel
+    Gam-cotangent rows (gambar, Gok-masked) as outputs for the
+    standalone `_sos_cascade_bwd_kernel`.  Measured SLOWER end to end
+    (3070 vs 3979 steps/s — the Horner recompute + HBM round-trip beats
+    phase 2's overhead); kept as an option."""
+    if fuse_taps:
+        tap_ref = rest_refs[0]
+        rest_refs = rest_refs[1:]
+        if with_dbar:
+            dbar_refs = rest_refs[:2]
+            tnr_ref, tni_ref = rest_refs[2:]
+        else:
+            dbar_refs = ()
+            tnr_ref, tni_ref = rest_refs
     else:
-        dbar_refs = ()
-        tnr_ref, tni_ref = rest_refs
+        gbr_ref, gbi_ref = rest_refs[:2]
+        dbar_refs = rest_refs[2:] if with_dbar else ()
     shape = (TILE // 128, 128)
     z, _ = _bin_phasor(nfft, shape)
     zs = [z]  # z^1 .. z^{P-1}, hoisted out of the section loops
@@ -1059,8 +1103,12 @@ def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
     Gok = []
     all_secs = []
     for n in range(N):
-        g, ok, secs = _cascade_tile(bt_ref, at_ref, n, z, P, K, shape,
-                                    keep_secs=True)
+        if fuse_taps:
+            g, ok, secs = _cascade_tile(bt_ref, at_ref, n, z, P, K, shape,
+                                        keep_secs=True)
+        else:
+            g, ok = _cascade_tile(bt_ref, at_ref, n, z, P, K, shape)
+            secs = []
         Gam.append(g)
         Gok.append(ok)
         all_secs.append(secs)
@@ -1149,16 +1197,25 @@ def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
             row.append(jnp.sum(_cmul(bbDp, y[j])[0]))
         ubar_rows.append(jnp.stack(row))
 
-        # Gam cotangent for this channel (zero where the cascade
-        # denominator vanished -> the response is the eps constant),
-        # spilled to scratch: see the docstring on the phase handoff
-        tn = _cmul(gambar, Gam[i])
-        tnr_ref[i] = jnp.where(Gok[i], tn[0], 0.0).reshape(TILE)
-        tni_ref[i] = jnp.where(Gok[i], tn[1], 0.0).reshape(TILE)
+        if fuse_taps:
+            # Gam cotangent for this channel (zero where the cascade
+            # denominator vanished -> the response is the eps constant),
+            # spilled to scratch: see the docstring on the phase handoff
+            tn = _cmul(gambar, Gam[i])
+            tnr_ref[i] = jnp.where(Gok[i], tn[0], 0.0).reshape(TILE)
+            tni_ref[i] = jnp.where(Gok[i], tn[1], 0.0).reshape(TILE)
+        else:
+            # emit gambar rows for the standalone cascade-bwd kernel
+            # (it recomputes Gam and forms t = gambar Gam itself)
+            gbr_ref[i] = jnp.where(Gok[i], gambar[0], 0.0).reshape(TILE)
+            gbi_ref[i] = jnp.where(Gok[i], gambar[1], 0.0).reshape(TILE)
 
     ub_ref[0] = jnp.stack(ubar_rows)
     bb_ref[0] = jnp.stack(bbar_rows).reshape(N, 1)
     cb_ref[0] = jnp.stack(cbar_rows).reshape(N, 1)
+
+    if not fuse_taps:
+        return
 
     # phase 2: SOS tap cotangents — only tn_list and zs are live here;
     # only the real part of t/sec * z^p is ever reduced.
@@ -1210,7 +1267,8 @@ def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
 
 
 def _fdn_sos_tf_mse_ml(dr, di, bt, at, u, b, c, xr, xi, t, nfft: int,
-                       M_true: int, with_dbar: bool, pivot: bool):
+                       M_true: int, with_dbar: bool, pivot: bool,
+                       fuse_taps: bool):
     N, Mp = dr.shape
     P, K, _ = bt.shape
     n_tiles = Mp // TILE
@@ -1225,51 +1283,60 @@ def _fdn_sos_tf_mse_ml(dr, di, bt, at, u, b, c, xr, xi, t, nfft: int,
                            memory_space=pltpu.VMEM)
     t_spec = pl.BlockSpec((1, TILE), lambda m: (0, m),
                           memory_space=pltpu.VMEM)
-    # tap-cotangent partials: 2*P rows (b then a, per tap power) of
-    # (N*K*sub, 1) lane-reduced sums — the caller folds sublanes + grid
     sub = TILE // 128
-    part_spec = pl.BlockSpec((1, P, 2 * N * K * sub, 1),
-                             lambda m: (0, 0, 0, 0),
-                             memory_space=pltpu.VMEM)
     out_specs = [t_spec,
                  pl.BlockSpec((1, N, N), lambda m: (m, 0, 0),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((1, N, 1), lambda m: (m, 0, 0),
                               memory_space=pltpu.VMEM),
                  pl.BlockSpec((1, N, 1), lambda m: (m, 0, 0),
-                              memory_space=pltpu.VMEM),
-                 part_spec]
+                              memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((1, Mp), dr.dtype),
                  jax.ShapeDtypeStruct((n_tiles, N, N), dr.dtype),
                  jax.ShapeDtypeStruct((n_tiles, N, 1), dr.dtype),
-                 jax.ShapeDtypeStruct((n_tiles, N, 1), dr.dtype),
-                 jax.ShapeDtypeStruct((1, P, 2 * N * K * sub, 1),
-                                      dr.dtype)]
+                 jax.ShapeDtypeStruct((n_tiles, N, 1), dr.dtype)]
+    scratch = []
+    if fuse_taps:
+        # tap-cotangent partials: P rows (per tap power) of
+        # (2*N*K*sub, 1) lane-reduced sums (b then a, sign folded) —
+        # the caller folds sublanes (grid already accumulated in-kernel)
+        out_specs.append(pl.BlockSpec((1, P, 2 * N * K * sub, 1),
+                                      lambda m: (0, 0, 0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, P, 2 * N * K * sub, 1),
+                                              dr.dtype))
+        # tn phase-handoff scratch: see the kernel docstring
+        scratch = [pltpu.VMEM((N, TILE), jnp.float32)] * 2
+    else:
+        # gambar rows for the standalone cascade-bwd kernel
+        out_specs += [vec_spec, vec_spec]
+        out_shape += [jax.ShapeDtypeStruct((N, Mp), dr.dtype)] * 2
     if with_dbar:
         out_specs += [vec_spec, vec_spec]
         out_shape += [jax.ShapeDtypeStruct((N, Mp), dr.dtype)] * 2
     return pl.pallas_call(
         partial(_fdn_sos_tf_mse_kernel, N, K, P, nfft, 2.0 / M_true,
-                with_dbar, pivot),
+                with_dbar, pivot, fuse_taps),
         grid=grid,
         in_specs=[vec_spec, vec_spec, coef_spec, coef_spec, u_spec,
                   nv_spec, nv_spec, t_spec, t_spec, t_spec],
         out_specs=out_specs,
         out_shape=out_shape,
-        # tn phase-handoff scratch: see the kernel docstring
-        scratch_shapes=[pltpu.VMEM((N, TILE), jnp.float32)] * 2,
+        scratch_shapes=scratch,
         interpret=_interpret(),
     )(dr, di, bt, at, u, b, c, xr, xi, t)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
-def _fdn_sos_tf_mse(nfft, with_dbar, pivot, D, bt, at, U, b, c, X, t):
-    loss, _ = _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, D, bt, at, U,
-                                  b, c, X, t)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _fdn_sos_tf_mse(nfft, with_dbar, pivot, fuse_taps, D, bt, at, U, b, c,
+                    X, t):
+    loss, _ = _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, fuse_taps, D,
+                                  bt, at, U, b, c, X, t)
     return loss
 
 
-def _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, D, bt, at, U, b, c, X, t):
+def _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, fuse_taps, D, bt, at, U,
+                        b, c, X, t):
     M, N = D.shape
     Mp = ((M + TILE - 1) // TILE) * TILE
     pad = Mp - M
@@ -1285,31 +1352,44 @@ def _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, D, bt, at, U, b, c, X, t):
     outs = _fdn_sos_tf_mse_ml(
         jnp.real(Dt), jnp.imag(Dt), bt2, at2, U.astype(rdtype),
         b.astype(rdtype)[:, None], c.astype(rdtype)[:, None],
-        xr, xi, tp, nfft, M, with_dbar, pivot)
-    lp, ub, bbp, cbp, tparts = outs[:5]
+        xr, xi, tp, nfft, M, with_dbar, pivot, fuse_taps)
+    lp, ub, bbp, cbp = outs[:4]
     P, K, _ = bt.shape
     loss = jnp.sum(lp) / M
     U_bar = jnp.sum(ub, axis=0).astype(U.dtype)
     b_bar = jnp.sum(bbp, axis=0)[:, 0].astype(b.dtype)
     c_bar = jnp.sum(cbp, axis=0)[:, 0].astype(c.dtype)
 
-    # fold the (1, P, 2*N*K*sub, 1) lane partials (grid already
-    # accumulated in-kernel): sublane sums only, rows are pass-major
-    # (b then a, sign folded in-kernel), channel-major, section-minor
-    folded = tparts[0, ..., 0].reshape(P, 2, N, K, TILE // 128)
-    folded = jnp.sum(folded, axis=-1)  # (P, 2, N, K)
-    folded = jnp.transpose(folded, (1, 0, 3, 2))  # (2, P, K, N)
-    bt_bar = folded[0].astype(bt.dtype)
-    at_bar = folded[1].astype(at.dtype)
+    if fuse_taps:
+        # fold the (1, P, 2*N*K*sub, 1) lane partials (grid already
+        # accumulated in-kernel): sublane sums only, rows are pass-major
+        # (b then a, sign folded in-kernel), channel-major, section-minor
+        tparts = outs[4]
+        rest = outs[5:]
+        folded = tparts[0, ..., 0].reshape(P, 2, N, K, TILE // 128)
+        folded = jnp.sum(folded, axis=-1)  # (P, 2, N, K)
+        folded = jnp.transpose(folded, (1, 0, 3, 2))  # (2, P, K, N)
+        bt_bar = folded[0].astype(bt.dtype)
+        at_bar = folded[1].astype(at.dtype)
+    else:
+        # hand the gambar rows to the standalone cascade-bwd kernel —
+        # identical math, but the dedicated kernel reduces at full speed
+        # while the in-kernel phase 2 pays ~100 us of Mosaic scheduling
+        # overhead (profiled 2026-08-18)
+        gbr, gbi = outs[4], outs[5]
+        rest = outs[6:]
+        bbt, abt = _sos_bwd_rows(bt2, at2, gbr, gbi, nfft, M)
+        bt_bar = bbt.astype(bt.dtype)
+        at_bar = abt.astype(at.dtype)
     if with_dbar:
-        dbr, dbi = outs[5], outs[6]
+        dbr, dbi = rest[0], rest[1]
         D_bar = jnp.transpose(dbr + 1j * dbi, (1, 0))[:M]
     else:
         D_bar = jnp.zeros_like(D)
     return loss, (D_bar, bt_bar, at_bar, U_bar, b_bar, c_bar, X, t)
 
 
-def _fdn_sos_tf_mse_bwd(nfft, with_dbar, pivot, res, g):
+def _fdn_sos_tf_mse_bwd(nfft, with_dbar, pivot, fuse_taps, res, g):
     D_bar, bt_bar, at_bar, U_bar, b_bar, c_bar, X, t = res
     return (g * D_bar, g * bt_bar, g * at_bar, g * U_bar, g * b_bar,
             g * c_bar, jnp.zeros_like(X), jnp.zeros_like(t))
@@ -1319,7 +1399,8 @@ _fdn_sos_tf_mse.defvjp(_fdn_sos_tf_mse_fwd, _fdn_sos_tf_mse_bwd)
 
 
 def pallas_fdn_sos_tf_mse(D, bt, at, U, b, c, X, t, nfft: int,
-                          with_dbar: bool = False, pivot: bool = False):
+                          with_dbar: bool = False, pivot: bool = False,
+                          fuse_taps: bool = True):
     """Fused attenuated-FDN training-step kernel: the scalar
 
         L = (1/M) sum_m (|tf_m X_m| - t_m)^2,
@@ -1337,9 +1418,18 @@ def pallas_fdn_sos_tf_mse(D, bt, at, U, b, c, X, t, nfft: int,
 
     Differentiable in D, bt, at, U, b, c; X/t are data (zero cotangent).
     pivot=False reuses the forward no-pivot L/U factors for the adjoint
-    (valid for stable FDN loops; gate on a finite-loss check)."""
-    return _fdn_sos_tf_mse(nfft, with_dbar, pivot, D, bt, at, U, b, c,
-                           X, t)
+    (valid for stable FDN loops; gate on a finite-loss check).
+
+    fuse_taps=False computes the tap cotangents in a SECOND dedicated
+    kernel launch (the standalone cascade-bwd kernel) from gambar rows
+    emitted by the main pass — identical math, but measured SLOWER end
+    to end (3070 vs 3979 steps/s on-chip, 2026-08-18): the second
+    launch re-runs all 2*K*N section Horners and round-trips the (N, M)
+    cotangent rows through HBM, which costs more than the in-kernel
+    phase 2's scheduling overhead.  Kept as an option/diagnostic; the
+    default stays single-launch."""
+    return _fdn_sos_tf_mse(nfft, with_dbar, pivot, fuse_taps, D, bt, at,
+                           U, b, c, X, t)
 
 
 # ---------------------------------------------------------------------------

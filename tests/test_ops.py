@@ -594,11 +594,12 @@ def test_pallas_fdn_sos_tf_mse(pallas_interpret):
     lr = float(jax.jit(loss_ref)(D, bt, at, U, b, c))
     gr = jax.jit(jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4, 5)))(
         D, bt, at, U, b, c)
-    for pivot in (True, False):
-        def loss_p(D, bt, at, U, b, c, pivot=pivot):
+    for pivot, fuse_taps in ((True, False), (False, False), (False, True)):
+        def loss_p(D, bt, at, U, b, c, pivot=pivot, fuse_taps=fuse_taps):
             return ps.pallas_fdn_sos_tf_mse(D, bt, at, U, b, c, X, t,
                                             nfft=nfft, with_dbar=True,
-                                            pivot=pivot)
+                                            pivot=pivot,
+                                            fuse_taps=fuse_taps)
 
         lp = float(jax.jit(loss_p)(D, bt, at, U, b, c))
         assert abs(lp - lr) / abs(lr) < 1e-5, pivot
@@ -606,7 +607,7 @@ def test_pallas_fdn_sos_tf_mse(pallas_interpret):
             D, bt, at, U, b, c)
         for i, (a_, b_) in enumerate(zip(gp, gr)):
             rel = float(jnp.abs(a_ - b_).max() / jnp.abs(b_).max())
-            assert rel < 5e-3, (pivot, i, rel)
+            assert rel < 5e-3, (pivot, fuse_taps, i, rel)
     # with_dbar=False zeroes ONLY the D cotangent (tap grads agree to
     # roundoff — the dropped outputs reorder the compiled summations)
     g0 = jax.jit(jax.grad(
