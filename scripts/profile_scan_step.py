@@ -141,6 +141,31 @@ def _build_aa_hoisted(k: int, fused: str | None = None):
     return model, multi, opt_state, inputs, targets
 
 
+def _build_aa_evs(k: int):
+    """The aa_evs_train bench workload (models.aa_evs_train_step):
+    mse_evs over cycling 1601-bin partitions of F_MM, trainee U."""
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.models.active_acoustics import (ActiveAcoustics,
+                                                   aa_evs_train_step)
+
+    flamo_tpu.set_seed(130297)
+    M = NFFT // 2 + 1
+    aa = ActiveAcoustics(n_S=1, n_M=4, n_L=13, n_A=1, nfft=NFFT,
+                         FIR_order=100, rir_length=15000,
+                         wgn_RT=1.0, room_t60=0.5)
+    tg = jnp.full((M, 4), 0.3, dtype=jnp.float32)
+    hmulti, opt_state, er, ei = aa_evs_train_step(aa, tg, lr=1e-3,
+                                                  iter_num=30)
+    er, ei = jnp.asarray(er), jnp.asarray(ei)
+
+    def multi(m, o, x, t):
+        return hmulti(m, o, er, ei, t, 0, k)
+
+    inputs = jnp.zeros((1, 1, 1))  # unused; uniform (m, o, x, t) signature
+    return aa.F_MM, multi, opt_state, inputs, tg
+
+
 def capture(workload: str, solve_method: str, k: int, cache_delays: bool):
     import jax
     from flamo_tpu.utils import host_eager, to_device
@@ -160,6 +185,10 @@ def capture(workload: str, solve_method: str, k: int, cache_delays: bool):
                 built = None
             else:
                 built = _build_aa(solve_method)
+        elif workload == "aa_evs":
+            model, prebuilt_multi, opt_state, inputs, targets = \
+                _build_aa_evs(k)
+            built = None
         else:
             raise SystemExit(f"unknown workload {workload!r}")
         if built is not None:
@@ -241,7 +270,7 @@ def device_kernel_rollup(events, k: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="colorless",
-                    choices=["colorless", "attenuated", "aa"])
+                    choices=["colorless", "attenuated", "aa", "aa_evs"])
     ap.add_argument("--solve", default=None,
                     help="colorless: pallas/pallas_tf/pallas_step[_np]/"
                          "ge*; attenuated: fused_np/fused/pallas; "
@@ -252,10 +281,10 @@ def main():
     args = ap.parse_args()
     if args.solve is None:
         args.solve = {"colorless": "pallas", "attenuated": "fused_np",
-                      "aa": "hoisted"}[args.workload]
+                      "aa": "hoisted", "aa_evs": "evs"}[args.workload]
     if args.k is None:
-        args.k = {"colorless": 400, "attenuated": 400, "aa": 20}[
-            args.workload]
+        args.k = {"colorless": 400, "attenuated": 400, "aa": 20,
+                  "aa_evs": 100}[args.workload]
     tracedir = capture(args.workload, args.solve, args.k, args.cache_delays)
     events = load_perfetto_events(tracedir)
     device_kernel_rollup(events, args.k)

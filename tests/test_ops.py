@@ -863,3 +863,57 @@ def test_aa_fused_step_matches_graph(pallas_interpret):
         lambda m, o, x, t, er, ei: multi(m, o, x, t, er, ei, 4))(
             m, opt_state, x, t, er, ei)
     assert abs(float(last) - l_graph) / abs(l_graph) < 1e-3
+
+
+@pytest.fixture()
+def pallas_eig_interpret(monkeypatch):
+    """Force the DK root kernel through the interpreter (no TPU on CI)."""
+    from functools import partial as _partial
+
+    import flamo_tpu.ops.pallas_eig as pe
+    from jax.experimental import pallas as pl
+
+    orig_call = pl.pallas_call
+    monkeypatch.setattr(pe.pl, "pallas_call",
+                        _partial(orig_call, interpret=True))
+    monkeypatch.setattr(pe, "TILE", 256)
+    return pe
+
+
+@pytest.mark.parametrize("N", [2, 4, 6])
+def test_pallas_dk_roots_matches_scan(pallas_eig_interpret, N):
+    """The in-register DK kernel runs the identical Jacobi iteration as
+    functional._dk_iterate — converged roots agree to float rounding
+    (and both match numpy.roots as root SETS)."""
+    from flamo_tpu import functional as F
+
+    pe = pallas_eig_interpret
+    rng = np.random.default_rng(7)
+    B = 300  # forces padding at TILE=256
+    c = jnp.asarray((rng.normal(size=(B, N))
+                     + 1j * rng.normal(size=(B, N))).astype(np.complex64))
+    z_kernel = np.asarray(pe.pallas_dk_roots(c, iters=96))
+    z_scan = np.asarray(F._dk_iterate(c, 96))
+    assert z_kernel.shape == (B, N)
+    assert float(np.abs(z_kernel - z_scan).max()) < 1e-4
+
+    # spot-check against numpy root sets on the first few rows
+    for i in range(5):
+        zs = np.sort_complex(z_kernel[i])
+        zn = np.sort_complex(np.roots(np.concatenate(
+            ([1.0], np.asarray(c[i])))))
+        assert float(np.abs(zs - zn).max()) < 5e-3
+
+
+def test_pallas_dk_roots_batch_shape(pallas_eig_interpret):
+    """Leading batch dims fold onto the kernel grid and come back."""
+    from flamo_tpu import functional as F
+
+    pe = pallas_eig_interpret
+    rng = np.random.default_rng(3)
+    c = jnp.asarray((rng.normal(size=(5, 7, 4))
+                     + 1j * rng.normal(size=(5, 7, 4))).astype(np.complex64))
+    z = np.asarray(pe.pallas_dk_roots(c, iters=64))
+    z_ref = np.asarray(F._dk_iterate(c, 64))
+    assert z.shape == (5, 7, 4)
+    assert float(np.abs(z - z_ref).max()) < 1e-4
