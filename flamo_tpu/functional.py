@@ -33,7 +33,7 @@ from flamo_tpu.utils import RegularGridInterpolator, next_key, to_complex
 __all__ = [
     "get_magnitude", "get_eigenvalues", "eigvals", "eigvals_dk",
     "eigvals_lapack",
-    "charpoly", "poly_roots", "spectral_radius",
+    "charpoly", "poly_roots", "poly_roots_rows", "spectral_radius",
     "skew_matrix",
     "expm", "expm_skew",
     "get_frequency_samples", "hadamard_matrix_jnp", "HadamardMatrix",
@@ -297,6 +297,29 @@ def _dk_iterate(c, iters: int):
     return jax.lax.complex(zr, zi)
 
 
+def _dk_roots(c, iters: int):
+    """Dispatch the Durand–Kerner iteration: the in-register Pallas
+    kernel on accelerator backends (the XLA scan path launches hundreds
+    of ~1-2 us elementwise kernels per call — the dominant cost of
+    eigenvalue-objective training steps), the lax.scan path on CPU
+    (where the Pallas interpreter would be slower) and for x64 inputs
+    (the kernel is f32).  ``FLAMO_TPU_DK_XLA=1`` forces the scan path
+    everywhere (escape hatch for tunnel Mosaic regressions).  Both paths
+    run the identical Jacobi update from the identical init circle."""
+    import os
+
+    c = jnp.asarray(c)
+    dd = jax.config.jax_default_device  # host_eager() pins this to CPU
+    on_cpu = (jax.default_backend() == "cpu"
+              or (dd is not None and dd.platform == "cpu"))
+    if (not on_cpu and c.dtype == jnp.complex64
+            and not os.environ.get("FLAMO_TPU_DK_XLA")):
+        from flamo_tpu.ops.pallas_eig import pallas_dk_roots
+
+        return pallas_dk_roots(c, iters=iters)
+    return _dk_iterate(c, iters)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def poly_roots(c, iters: int = 96):
     """All complex roots of the monic polynomial(s)
@@ -309,11 +332,11 @@ def poly_roots(c, iters: int = 96):
     (exact for simple roots; repeated roots have unbounded sensitivity —
     same contract as :func:`eigvals`).  Root order is arbitrary
     (iteration order, NOT LAPACK order)."""
-    return _dk_iterate(jnp.asarray(c), iters)
+    return _dk_roots(c, iters)
 
 
 def _poly_roots_fwd(c, iters: int = 96):
-    z = _dk_iterate(jnp.asarray(c), iters)
+    z = _dk_roots(jnp.asarray(c), iters)
     return z, (z, jnp.asarray(c))
 
 
@@ -335,6 +358,75 @@ def _poly_roots_bwd(iters, res, z_bar):
 
 
 poly_roots.defvjp(_poly_roots_fwd, _poly_roots_bwd)
+
+
+def _dk_roots_rows(cr, ci, iters: int):
+    """Rows-layout dispatch twin of :func:`_dk_roots`: real coefficient
+    rows (N, B) -> real root rows (zr, zi)."""
+    import os
+
+    dd = jax.config.jax_default_device
+    on_cpu = (jax.default_backend() == "cpu"
+              or (dd is not None and dd.platform == "cpu"))
+    if not on_cpu and not os.environ.get("FLAMO_TPU_DK_XLA"):
+        from flamo_tpu.ops.pallas_eig import pallas_dk_roots_rows
+
+        return pallas_dk_roots_rows(cr, ci, iters=iters)
+    z = _dk_iterate(jax.lax.complex(cr, ci).T, iters).T
+    return jnp.real(z), jnp.imag(z)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def poly_roots_rows(cr, ci, iters: int = 96):
+    """Lanes-major twin of :func:`poly_roots` for TPU hot paths: real
+    coefficient ROWS ``cr``/``ci`` of shape ``(N, B)`` (polynomials on
+    the LAST axis, which maps to vector lanes) -> real root rows
+    ``(zr, zi)``, each ``(N, B)``.
+
+    Keeping the batch axis last avoids the (8, 128)-padded-tile
+    bandwidth waste that (B, N)-major layouts pay for small N on TPU,
+    and lets callers stay in explicit re/im arithmetic end to end (no
+    complex carries — a tunnel minefield, CLAUDE.md).  Same iteration,
+    same root ordering, and the same implicit-function pullback as
+    :func:`poly_roots`, just expressed on rows."""
+    return _dk_roots_rows(cr, ci, iters)
+
+
+def _poly_roots_rows_fwd(cr, ci, iters: int = 96):
+    zr, zi = _dk_roots_rows(cr, ci, iters)
+    return (zr, zi), (zr, zi)
+
+
+def _poly_roots_rows_bwd(iters, res, zbar):
+    """Implicit-function pullback on rows.  With holomorphic roots
+    z(c), J_nk = dz_n/dc_k = -z_n^{N-1-k} / p'(z_n): for the real-pair
+    map (cr, ci) -> (zr, zi) the chain gives
+    ``cr_bar = Re(acc)``, ``ci_bar = -Im(acc)`` with
+    ``acc_k = sum_n conj(zbar_n) J_nk`` (verified against autodiff
+    through the complex :func:`poly_roots` in tests/test_functional)."""
+    zr, zi = res
+    zr_bar, zi_bar = zbar
+    N = zr.shape[0]
+    z = jax.lax.complex(zr, zi)  # (N, B)
+    diff = z[:, None, :] - z[None, :, :]
+    diff = diff + jnp.eye(N, dtype=z.dtype)[..., None]
+    dp = jnp.prod(diff, axis=1)  # p'(z_n) rows, (N, B)
+    ok = jnp.abs(dp) > 0.0
+    w = jax.lax.complex(zr_bar, -zi_bar) / jnp.where(ok, dp, 1.0)
+    w = jnp.where(ok, w, 0.0)
+    # acc_k = -sum_n w_n z_n^{N-1-k}, built highest-power-first
+    crb = []
+    cib = []
+    p = jnp.ones_like(z)
+    for _ in range(N):
+        acc = -jnp.sum(w * p, axis=0)
+        crb.append(jnp.real(acc))
+        cib.append(-jnp.imag(acc))
+        p = p * z
+    return jnp.stack(crb[::-1]), jnp.stack(cib[::-1])
+
+
+poly_roots_rows.defvjp(_poly_roots_rows_fwd, _poly_roots_rows_bwd)
 
 
 def eigvals_dk(A, iters: int = 96):

@@ -443,6 +443,64 @@ def aa_fused_step(model: system.Shell, inputs, targets, lr: float = 1e-3,
     return multi, opt_state, er, ei
 
 
+def _charpoly_rows(ar, ai, N: int):
+    """Faddeev-LeVerrier characteristic-polynomial coefficients in ROWS
+    layout: ``ar``/``ai`` real ``(N, N, B)`` matrix entries with the
+    batch (bin) axis LAST -> coefficient rows ``(cr, ci)`` each
+    ``(N, B)`` such that ``p(z) = z^N + c[0] z^{N-1} + ... + c[N-1]``.
+
+    Twin of :func:`flamo_tpu.functional.charpoly` for the TPU hot path:
+    (B, N, N)-major layouts pay (8, 128)-padded tiles for small N
+    (~30x bandwidth waste — the profiled cost of the eigenvalue
+    training step, 2026-08-18), while rows keep every multiply-add a
+    full-lane VPU op that XLA fuses.  The explicit multiply-reduce
+    matmuls are exact f32 (no bf16 MXU passes), matching charpoly's
+    Precision.HIGHEST requirement by construction."""
+    eyeb = jnp.eye(N, dtype=ar.dtype)[..., None]
+
+    def tr(mr, mi):
+        return ((mr * eyeb).sum((0, 1)), (mi * eyeb).sum((0, 1)))
+
+    def matmul(xr, xi):
+        # (A @ X)[i, j, b] = sum_l A[i, l, b] X[l, j, b]
+        rr = (ar[:, :, None, :] * xr[None] - ai[:, :, None, :] * xi[None]
+              ).sum(axis=1)
+        ri = (ar[:, :, None, :] * xi[None] + ai[:, :, None, :] * xr[None]
+              ).sum(axis=1)
+        return rr, ri
+
+    mkr, mki = ar, ai
+    tr_r, tr_i = tr(mkr, mki)
+    cr, ci = -tr_r, -tr_i
+    crows = [cr]
+    cirows = [ci]
+    for k in range(2, N + 1):
+        xr = mkr + eyeb * cr
+        xi = mki + eyeb * ci
+        mkr, mki = matmul(xr, xi)
+        tr_r, tr_i = tr(mkr, mki)
+        cr, ci = -tr_r / k, -tr_i / k
+        crows.append(cr)
+        cirows.append(ci)
+    return jnp.stack(crows), jnp.stack(cirows)
+
+
+def _sort_rows(x):
+    """Ascending sort of an (N, B) array along axis 0 by odd-even
+    transposition (N passes of min/max row swaps) — branch-free,
+    lanes-major, and its VJP routes cotangents through the same
+    selects (matching jnp.sort's permutation pullback for distinct
+    values)."""
+    N = x.shape[0]
+    rows = [x[i] for i in range(N)]
+    for p in range(N):
+        for i in range(p % 2, N - 1, 2):
+            lo = jnp.minimum(rows[i], rows[i + 1])
+            hi = jnp.maximum(rows[i], rows[i + 1])
+            rows[i], rows[i + 1] = lo, hi
+    return jnp.stack(rows)
+
+
 def aa_evs_train_step(aa: "ActiveAcoustics", target_evs, lr: float = 1e-3,
                       iter_num: int = 30, key=None):
     """Build (jittable_multi, opt_state, er, ei) for the reference's TRUE
@@ -455,11 +513,22 @@ def aa_evs_train_step(aa: "ActiveAcoustics", target_evs, lr: float = 1e-3,
     Fully on-device: the loop matrix is composed per partition with
     linop algebra (``F_MM[idx] = H_LM[idx] diag((R G)[idx]) U(idx)``,
     where ``U(idx)`` comes from one MXU matmul of the taps against the
-    partition's slice of the rfft DFT basis — the module-graph path
-    computes all M bins and masks), and the eigendecomposition runs
-    through :func:`flamo_tpu.functional.eigvals_dk` — the axon TPU
-    rejects host callbacks, so this objective could not previously
-    train on that hardware at all.
+    partition's slice of the rfft DFT basis), and the eigenvalues come
+    from the char-poly + Durand-Kerner solver — the axon TPU rejects
+    host callbacks, so this objective could not previously train on
+    that hardware at all.
+
+    Everything per-step is laid out LANES-MAJOR (bins on the last
+    axis): the 2026-08-18 profile of the matrices-major implementation
+    showed ~35 XLA fusions of 16-18 us each — (P, 4, 4)/(P, 4, 13)
+    arrays with tiny minor dims pay (8, 128)-padded tiles, ~30x
+    bandwidth waste (the same pathology as the AA magnitude step).
+    Here the frozen rows (H_LM * diag(RG), targets, DFT basis) are
+    pre-PERMUTED once into partition order, each step takes a
+    contiguous ``dynamic_slice`` window (no per-step gathers), the
+    4x4-per-bin char-poly runs as full-lane multiply-reduces
+    (:func:`_charpoly_rows`), and the root iteration is the in-register
+    Pallas kernel (functional.poly_roots_rows).
 
     ``multi(m, o, er, ei, tg, step0, k)`` scans ``k`` steps starting at
     global step index ``step0`` (the partition cycles with the step
@@ -468,7 +537,7 @@ def aa_evs_train_step(aa: "ActiveAcoustics", target_evs, lr: float = 1e-3,
     import optax
 
     from flamo_tpu.core import masked_optimizer
-    from flamo_tpu.functional import eigvals_dk
+    from flamo_tpu.functional import poly_roots_rows
     from flamo_tpu.optimize.utils import generate_partitions
 
     model = aa.F_MM
@@ -479,15 +548,23 @@ def aa_evs_train_step(aa: "ActiveAcoustics", target_evs, lr: float = 1e-3,
     order, n_L, n_M = U.param.shape
     n_samples = int(np.ceil(M / iter_num))
     masks = generate_partitions(jnp.arange(M), n_samples, 1, key=key)
+    n_parts = int(masks.shape[0])
+    # one flat partition-order permutation; step i's bins are the
+    # contiguous window [ (i % n_parts) * n_samples, +n_samples )
+    perm = np.asarray(masks).reshape(-1)
 
     tx = masked_optimizer(optax.adam(lr), model)
     opt_state = tx.init(model)
     er, ei = aa_dft_basis(order, nfft)
+    # pre-permute the DFT basis on host: jit then ships the
+    # already-partition-ordered operand and steps only slice it
+    er, ei = er[:, perm], ei[:, perm]
     hp = jax.lax.Precision.HIGHEST
 
     def multi(m, o, er, ei, tg, step0, k):
         core = m.get_core()
-        # frozen per-call hoists: H_LM rows and the diag(R)*diag(G) row
+        # frozen per-call hoists (in-trace, once per call): permuted
+        # lanes-major rows of H_LM * diag(R G) and the sorted targets
         kH, H = core["H_LM"].matrix_response()
         from flamo_tpu.ops import linop
 
@@ -498,23 +575,50 @@ def aa_evs_train_step(aa: "ActiveAcoustics", target_evs, lr: float = 1e-3,
         assert kR == linop.DIAG and kG == linop.DIAG
         rg = jax.lax.stop_gradient(
             jnp.broadcast_to(R * G, (M, n_L)))  # (M, n_L)
+        Hrg = jnp.transpose(H * rg[:, None, :], (1, 2, 0)).reshape(
+            n_M * n_L, M)[:, perm]
+        hr_all, hi_all = jnp.real(Hrg), jnp.imag(Hrg)
+        tg_all = jnp.sort(tg, axis=-1).T[:, perm]  # (n_M, Mp)
 
         def step_loss(mm, i):
-            idx = masks[i % masks.shape[0]]
+            start = (i % n_parts) * n_samples
+
+            def win(a):
+                return jax.lax.dynamic_slice_in_dim(a, start, n_samples,
+                                                    axis=1)
+
+            hr = win(hr_all).reshape(n_M, 1, n_L, n_samples)
+            hi = win(hi_all).reshape(n_M, 1, n_L, n_samples)
+            tgw = win(tg_all)  # (n_M, P)
             Um = mm.get_core()["U"]
             env = jnp.asarray(Um.gamma, Um.param.dtype) ** jnp.arange(
                 order, dtype=Um.param.dtype)
-            taps = Um.ir(Um.param) * env[:, None, None]
-            Ui = jnp.stack([jnp.matmul(taps.reshape(order, -1).T,
-                                       e[:, idx], precision=hp)
-                            for e in (er, ei)], -1)  # (L*n_M, P, 2)
-            Ui = jax.lax.complex(Ui[..., 0], Ui[..., 1]).reshape(
-                n_L, n_M, -1).transpose(2, 0, 1)  # (P, n_L, n_M)
-            fm = jnp.einsum("pml,pln->pmn", H[idx] * rg[idx][:, None, :],
-                            Ui, precision=hp)  # (P, n_M, n_M)
-            evs = jnp.sort(jnp.abs(eigvals_dk(fm)), axis=-1)
-            tgt = jnp.sort(tg[idx], axis=-1)
-            return jnp.mean((evs - tgt) ** 2)
+            taps = (Um.ir(Um.param) * env[:, None, None]).reshape(
+                order, n_L * n_M)
+            # the only MXU work: taps -> partition response rows
+            ur = jnp.matmul(taps.T, win(er), precision=hp)
+            ui = jnp.matmul(taps.T, win(ei), precision=hp)
+            # fm[i, j, b] = sum_l Hrg[i, l, b] U[l, j, b]  (rows)
+            urt = jnp.transpose(ur.reshape(n_L, n_M, n_samples),
+                                (1, 0, 2))[None]  # (1, j, l, b) = U[l, j]
+            uit = jnp.transpose(ui.reshape(n_L, n_M, n_samples),
+                                (1, 0, 2))[None]
+            fr = (hr * urt - hi * uit).sum(axis=2)  # (i, j, b)
+            fi = (hr * uit + hi * urt).sum(axis=2)
+            # spectrum-center and scale (eigvals_dk semantics)
+            eyeb = jnp.eye(n_M, dtype=fr.dtype)[..., None]
+            mur = (fr * eyeb).sum((0, 1)) / n_M
+            mui = (fi * eyeb).sum((0, 1)) / n_M
+            br = fr - eyeb * mur
+            bi = fi - eyeb * mui
+            s = jnp.maximum(
+                jnp.sqrt((br * br + bi * bi).sum((0, 1)) / n_M), 1e-30)
+            cr, ci = _charpoly_rows(br / s, bi / s, n_M)
+            zr, zi = poly_roots_rows(cr, ci)
+            evr = zr * s + mur
+            evi = zi * s + mui
+            mag = _sort_rows(jnp.sqrt(evr * evr + evi * evi))
+            return jnp.mean((mag - tgw) ** 2)
 
         def body(carry, i):
             mm, oo = carry
