@@ -339,3 +339,44 @@ def test_eigvals_dk_repeated_spectra_degrade_gracefully():
     assert np.all(np.isfinite(w2.view(np.float32)))
     assert abs(w2[-1] - 3.0) < 1e-5
     assert np.abs(w2[:2] - 1.0).max() < 5e-3  # double root: O(sqrt(eps))
+
+
+def test_poly_roots_rows_matches_complex_path():
+    """poly_roots_rows (lanes-major re/im twin used by the fused
+    eigenvalue training step) matches poly_roots on both the forward
+    roots and the implicit-function VJP through an order-free
+    sorted-magnitude loss (the mse_evs shape)."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    N, B = 4, 64
+    c = (rng.normal(size=(B, N))
+         + 1j * rng.normal(size=(B, N))).astype(np.complex64)
+    cr = jnp.asarray(np.real(c).T.copy())  # (N, B) rows
+    ci = jnp.asarray(np.imag(c).T.copy())
+    t = jnp.asarray(rng.uniform(size=(N, B)).astype(np.float32))
+
+    zr, zi = jax.jit(F.poly_roots_rows)(cr, ci)
+    assert zr.shape == (N, B) and zi.shape == (N, B)
+    z_ref = np.asarray(jax.jit(F.poly_roots)(jnp.asarray(c)))
+    err = _match_sets(np.asarray(jax.lax.complex(zr, zi)).T, z_ref)
+    assert err < 1e-4, err
+
+    def loss_rows(cr, ci):
+        zr, zi = F.poly_roots_rows(cr, ci)
+        m = jnp.sort(jnp.sqrt(zr * zr + zi * zi), axis=0)
+        return jnp.mean((m - t) ** 2)
+
+    def loss_cplx(cr, ci):
+        z = F.poly_roots(jax.lax.complex(cr, ci).T)
+        m = jnp.sort(jnp.abs(z), axis=-1).T
+        return jnp.mean((m - t) ** 2)
+
+    l_r = float(loss_rows(cr, ci))
+    l_c = float(loss_cplx(cr, ci))
+    assert abs(l_r - l_c) / abs(l_c) < 1e-5
+    gr_r = jax.grad(loss_rows, argnums=(0, 1))(cr, ci)
+    gr_c = jax.grad(loss_cplx, argnums=(0, 1))(cr, ci)
+    for a, b in zip(gr_r, gr_c):
+        rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
+        assert rel < 1e-4, rel
