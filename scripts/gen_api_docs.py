@@ -69,7 +69,11 @@ def public_members(mod):
             continue
         if getattr(obj, "__module__", None) != mod.__name__:
             continue
-        if inspect.isclass(obj) or inspect.isfunction(obj):
+        # callable() rather than isfunction(): jax.custom_vjp /
+        # functools.partial wrappers (poly_roots, expm, ...) are not
+        # plain functions but are part of the public API
+        if inspect.isclass(obj) or (callable(obj)
+                                    and getattr(obj, "__doc__", None)):
             out.append((n, obj))
     return out
 
