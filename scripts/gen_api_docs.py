@@ -6,6 +6,7 @@ Usage:  python scripts/gen_api_docs.py
 import importlib
 import inspect
 import os
+import re
 import sys
 import textwrap
 
@@ -53,9 +54,12 @@ def first_para(doc):
 
 def sig_of(obj):
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
     except (ValueError, TypeError):
         return "(...)"
+    # default-value reprs carry process-specific addresses; strip them so
+    # regenerated docs do not churn
+    return re.sub(r" at 0x[0-9a-f]+", "", sig)
 
 
 def public_members(mod):
