@@ -117,31 +117,70 @@ def get_frequency_samples(num: int, rho: float = 1.0, dtype=jnp.float32) -> jax.
 def save_audio(filepath: str, x, fs: int = 48000, subtype: str = "PCM_24") -> None:
     """Write a WAV file (reference flamo/utils.py:25-30).
 
-    ``subtype`` 'PCM_16'/'PCM_24'/'PCM_32' map to integer widths; 'FLOAT'
-    writes float32 samples.
+    ``subtype`` 'PCM_16'/'PCM_24'/'PCM_32' map to integer widths ('PCM_24'
+    writes true 3-byte-per-sample PCM frames, matching soundfile's PCM_24
+    — the reference's default); 'FLOAT' writes float32 samples.
     """
-    from scipy.io import wavfile
-
     folder = os.path.dirname(filepath)
     if folder and not os.path.exists(folder):
         os.makedirs(folder)
     x = np.asarray(x)
     if subtype == "FLOAT":
-        data = x.astype(np.float32)
-    else:
-        bits = {"PCM_16": 16, "PCM_24": 24, "PCM_32": 32}.get(subtype, 24)
-        peak = np.max(np.abs(x)) if x.size else 1.0
-        if peak > 1.0:
-            x = x / peak
-        if bits == 16:
-            data = (x * (2**15 - 1)).astype(np.int16)
-        else:  # 24-bit payload stored in int32 container
-            data = (x * (2**31 - 1)).astype(np.int32)
-    wavfile.write(filepath, int(fs), data)
+        from scipy.io import wavfile
+
+        wavfile.write(filepath, int(fs), x.astype(np.float32))
+        return
+    peak = np.max(np.abs(x)) if x.size else 1.0
+    if peak > 1.0:
+        x = x / peak
+    if subtype == "PCM_16":
+        from scipy.io import wavfile
+
+        wavfile.write(filepath, int(fs), (x * (2**15 - 1)).astype(np.int16))
+    elif subtype == "PCM_32":
+        from scipy.io import wavfile
+
+        wavfile.write(filepath, int(fs),
+                      (x * (2**31 - 1)).astype(np.int32))
+    else:  # PCM_24: true 3-byte little-endian frames via stdlib wave
+        import wave
+
+        if x.ndim == 1:
+            x = x[:, None]
+        q = np.clip(np.round(x * (2**23 - 1)), -(2**23), 2**23 - 1)
+        i4 = q.astype("<i4")  # interleaved (T, C) int32
+        raw = i4.tobytes()
+        # keep the 3 low bytes of each little-endian int32 sample
+        b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 4)[:, :3]
+        with wave.open(filepath, "wb") as w:
+            w.setnchannels(x.shape[1])
+            w.setsampwidth(3)
+            w.setframerate(int(fs))
+            w.writeframes(b.tobytes())
 
 
 def load_audio(filepath: str):
-    """Read a WAV file -> (float32 array in [-1,1] of shape (T, C), fs)."""
+    """Read a WAV file -> (float32 array in [-1,1] of shape (T, C), fs).
+
+    Handles 24-bit PCM (3-byte frames) natively; other formats go through
+    scipy."""
+    import wave
+
+    try:
+        with wave.open(filepath, "rb") as w:
+            if w.getsampwidth() == 3:
+                C = w.getnchannels()
+                fs = w.getframerate()
+                raw = w.readframes(w.getnframes())
+                b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)
+                val = (b[:, 0].astype(np.int32)
+                       | (b[:, 1].astype(np.int32) << 8)
+                       | (b[:, 2].astype(np.int32) << 16))
+                val = np.where(val >= 2**23, val - 2**24, val)
+                data = (val.astype(np.float32) / 2**23).reshape(-1, C)
+                return data, fs
+    except wave.Error:
+        pass  # compressed / float WAVs: scipy below
     from scipy.io import wavfile
 
     fs, data = wavfile.read(filepath)

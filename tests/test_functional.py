@@ -380,3 +380,63 @@ def test_poly_roots_rows_matches_complex_path():
     for a, b in zip(gr_r, gr_c):
         rel = float(jnp.abs(a - b).max() / jnp.abs(b).max())
         assert rel < 1e-4, rel
+
+
+def test_charpoly_pins_highest_precision():
+    """Regression guard for the bf16 footgun (CLAUDE.md 2026-08-17): on
+    TPU the default matmul precision is bf16 passes, which put ~1e-3 on
+    the char-poly coefficients and hence the roots — with perfectly
+    converged-looking DK residuals.  charpoly therefore pins every
+    dot_general to Precision.HIGHEST internally; this test fails if that
+    pin is ever dropped (the numeric effect is invisible on the CPU test
+    backend, where default precision is already f32)."""
+    import numpy as np
+
+    A = jnp.asarray(np.eye(6, dtype=np.complex64)[None])
+    jaxpr = jax.make_jaxpr(F.charpoly)(A)
+    dots = [e for e in jaxpr.jaxpr.eqns if e.primitive.name == "dot_general"]
+    assert dots, "charpoly no longer lowers to dot_general — update test"
+    for e in dots:
+        prec = e.params.get("precision")
+        assert prec is not None and all(
+            p == jax.lax.Precision.HIGHEST for p in np.ravel([prec])
+        ), f"charpoly dot_general lost its HIGHEST pin: {prec}"
+
+
+def test_charpoly_bf16_failure_mode_documented():
+    """Pins the magnitude of the bf16 failure mode itself: running the
+    Faddeev-LeVerrier recursion with bf16-rounded matmul inputs degrades
+    the roots to ~1e-3 while the f32 path stays ~1e-5 — the reason
+    charpoly pins HIGHEST and why DK residuals alone cannot diagnose it
+    (the roots of the WRONG polynomial still converge perfectly)."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    A = (rng.normal(size=(16, 6, 6))
+         + 1j * rng.normal(size=(16, 6, 6))).astype(np.complex64)
+    ref = np.linalg.eigvals(A)
+
+    def bf16_round(x):
+        return (jnp.real(x).astype(jnp.bfloat16).astype(jnp.float32)
+                + 1j * jnp.imag(x).astype(jnp.bfloat16).astype(jnp.float32)
+                ).astype(x.dtype)
+
+    def charpoly_bf16(A):
+        N = A.shape[-1]
+        eye = jnp.eye(N, dtype=A.dtype)
+        Mk = A
+        c = -jnp.trace(Mk, axis1=-2, axis2=-1)
+        cs = [c]
+        for k in range(2, N + 1):
+            Mk = jnp.matmul(bf16_round(A),
+                            bf16_round(Mk + c[..., None, None] * eye))
+            c = -jnp.trace(Mk, axis1=-2, axis2=-1) / k
+            cs.append(c)
+        return jnp.stack(cs, axis=-1)
+
+    z_good = np.asarray(F.poly_roots(F.charpoly(jnp.asarray(A))))
+    z_bad = np.asarray(F.poly_roots(charpoly_bf16(jnp.asarray(A))))
+    err_good = _match_sets(z_good, ref)
+    err_bad = _match_sets(z_bad, ref)
+    assert err_good < 1e-4, err_good
+    assert err_bad > 10 * err_good, (err_bad, err_good)
