@@ -32,7 +32,7 @@ from flamo_tpu.utils import RegularGridInterpolator, next_key, to_complex
 
 __all__ = [
     "get_magnitude", "get_eigenvalues", "eigvals", "eigvals_dk",
-    "eigvals_lapack",
+    "eigvals_lapack", "eigvals_qr",
     "charpoly", "poly_roots", "poly_roots_rows", "spectral_radius",
     "skew_matrix",
     "expm", "expm_skew",
@@ -65,6 +65,12 @@ def _np_eigvals(x):
 #: for well-separated spectra; the char-poly route degrades with N)
 EIG_DK_MAX_N = 8
 
+# largest N for the on-device Hessenberg+QR analysis eigensolver
+# (~1e-5 set-match vs LAPACK up to N=32, no-grad) — lifts the old N<=8
+# ceiling for GBI-style analysis of larger rigs on the callback-less
+# axon backend
+from flamo_tpu.ops.qr_eig import EIG_QR_MAX_N, eigvals_qr  # noqa: E402
+
 
 def _callbacks_unsupported() -> bool:
     """The axon tunnel's PJRT plugin rejects host callbacks outright
@@ -87,8 +93,12 @@ def get_eigenvalues(x):
 
     Nonsymmetric eig is not available in XLA on TPU; this routes through a
     host callback (analysis-only, not differentiable) — SURVEY.md §7 hard
-    part #2.  On backends that reject host callbacks (axon) small N
-    reroutes to the on-device :func:`eigvals_dk`.
+    part #2.  On backends that reject host callbacks (axon): N <= 8 uses
+    the on-device char-poly solver :func:`eigvals_dk` (shared with the
+    trainable objectives), 8 < N <= 32 the on-device Hessenberg+shifted-QR
+    solver :func:`flamo_tpu.ops.qr_eig.eigvals_qr` (~1e-5 set-match vs
+    LAPACK) — so GBI-style analyses of larger rigs
+    (reference e8_active_acoustics.py:183-215) run on that hardware too.
     """
     x = jnp.asarray(x)
     assert x.shape[-1] == x.shape[-2]
@@ -97,10 +107,14 @@ def get_eigenvalues(x):
     if _callbacks_unsupported():
         if x.shape[-1] <= EIG_DK_MAX_N:
             return jax.lax.stop_gradient(eigvals_dk(x))
+        if x.shape[-1] <= EIG_QR_MAX_N:
+            from flamo_tpu.ops.qr_eig import eigvals_qr
+
+            return jax.lax.stop_gradient(eigvals_qr(x))
         raise NotImplementedError(
             f"nonsymmetric eig of N={x.shape[-1]} on the '{jax.default_backend()}' "
             f"backend: host callbacks are unsupported and the on-device "
-            f"char-poly solver is gated to N <= {EIG_DK_MAX_N}")
+            f"QR solver is gated to N <= {EIG_QR_MAX_N}")
     out_dtype = complex_dtype_for(x.real.dtype)
     result_shape = jax.ShapeDtypeStruct(x.shape[:-1], out_dtype)
     return jax.pure_callback(_np_eigvals, result_shape, x, vmap_method="expand_dims")
@@ -187,7 +201,9 @@ def eigvals(A):
             f"differentiable eig of N={A.shape[-1]} on the "
             f"'{jax.default_backend()}' backend: host callbacks are "
             f"unsupported and the on-device char-poly solver is gated "
-            f"to N <= {EIG_DK_MAX_N}")
+            f"to N <= {EIG_DK_MAX_N} (for no-grad analysis up to "
+            f"N <= {EIG_QR_MAX_N} use get_eigenvalues, which routes to "
+            f"the on-device QR solver)")
     return eigvals_lapack(A)
 
 

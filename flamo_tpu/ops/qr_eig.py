@@ -1,0 +1,208 @@
+"""Batched on-device nonsymmetric eigenvalues: Hessenberg + shifted QR.
+
+Nonsymmetric ``eigvals`` has no XLA lowering on TPU, and the axon tunnel
+rejects host callbacks outright, so LAPACK is unreachable there
+(CLAUDE.md).  The char-poly + Durand-Kerner solver
+(:func:`flamo_tpu.functional.eigvals_dk`) covers N <= 8 — the
+characteristic-polynomial route loses accuracy quickly above that — which
+left the reference's larger analyses (``torch.linalg.eigvals`` for any N,
+/root/reference/flamo/functional.py:24-39; GBI of an 8+-mic active-
+acoustics rig, /root/reference/examples/e8_active_acoustics.py:183-215)
+impossible on the target hardware.
+
+This module implements the LAPACK-family algorithm itself, batched and
+jittable with static shapes:
+
+1. **Householder Hessenberg reduction** — N-2 statically-unrolled
+   two-sided reflections over the ``(B, N, N)`` batch.
+2. **Shifted QR iteration with a fixed deflation schedule, fully
+   dynamic control flow** — one ``lax.fori_loop`` over
+   ``sweeps * (N-1)`` Wilkinson-shifted QR sweeps; the active block
+   size ``m`` shrinks from N to 2 every ``sweeps`` iterations.  Each
+   sweep runs the full-width Givens chain (inner ``fori_loop`` with
+   ``dynamic_slice`` row/column pair updates) with rotations FORCED to
+   identity at positions ``j >= m-1``, which is exactly similarity by
+   ``diag(Q_active, I)`` — so the compiled program is O(1) statements
+   regardless of N (an earlier statically-unrolled version paid
+   O(N^2) trace size: 68 s compile at N=8, unusable at 32).  Batched
+   matrices march in lockstep — per-matrix early deflation is replaced
+   by the fixed schedule, which costs sweeps but no correctness.
+   Eigenvalues are the final diagonal.
+3. Every 6th sweep uses an **exceptional shift** (Francis' trick) so
+   symmetric stalls — e.g. circulant permutation blocks, where the
+   Wilkinson shift sits exactly between two eigenvalues — cannot cycle.
+
+The matrix is spectrum-centered and Frobenius-scaled first (same
+conditioning trick as ``eigvals_dk``).  Backward stability of the QR
+iteration gives ~``N * eps_f32 * ||A||`` accuracy — measured 1e-6..1e-5
+set-match vs LAPACK for random and clustered f32 spectra up to N=32
+(tests/test_functional.py) — where the char-poly route is useless.
+
+Analysis-only: the iteration is not usefully differentiable (use
+:func:`flamo_tpu.functional.eigvals` / ``mse_evs`` for training
+objectives, N <= 8 on axon).  ``lax`` loop carries are re/im REAL pairs
+(complex carries hit backend UNIMPLEMENTED on the tunnel, CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["eigvals_qr", "EIG_QR_MAX_N"]
+
+#: largest N routed to the QR eigensolver where host callbacks are
+#: unavailable.  The algorithm has no hard ceiling (compiled size is
+#: O(1) in N); 32 bounds the lockstep sweep budget to something sane.
+EIG_QR_MAX_N = 32
+
+
+def _hessenberg(H):
+    """Two-sided Householder reduction to upper Hessenberg form.
+
+    H: (B, N, N) complex.  Statically unrolled over columns (O(N) trace
+    size, a handful of einsums per column)."""
+    B, N, _ = H.shape
+    for k in range(N - 2):
+        x = H[:, k + 1:, k]  # (B, n) with n = N-k-1
+        normx = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=-1))
+        x0 = x[:, 0]
+        ax0 = jnp.abs(x0)
+        phase = jnp.where(ax0 > 0.0, x0 / jnp.where(ax0 > 0.0, ax0, 1.0),
+                          jnp.ones_like(x0))
+        alpha = -phase * normx.astype(x.dtype)
+        u = x.at[:, 0].add(-alpha)
+        unorm = jnp.sqrt(jnp.sum(jnp.abs(u) ** 2, axis=-1))
+        ok = unorm > 0.0
+        v = u / jnp.where(ok, unorm, 1.0).astype(u.dtype)[:, None]
+        v = jnp.where(ok[:, None], v, jnp.zeros_like(v))
+        # rows: H[k+1:, :] -= 2 v (v^H H[k+1:, :])
+        w = jnp.einsum("bi,bij->bj", jnp.conj(v), H[:, k + 1:, :])
+        H = H.at[:, k + 1:, :].add(-2.0 * v[:, :, None] * w[:, None, :])
+        # cols: H[:, k+1:] -= 2 (H[:, k+1:] v) v^H
+        w2 = jnp.einsum("bij,bj->bi", H[:, :, k + 1:], v)
+        H = H.at[:, :, k + 1:].add(
+            -2.0 * w2[:, :, None] * jnp.conj(v)[:, None, :])
+    return H
+
+
+def _wilkinson_shift(blk):
+    """Shift from a (B, 2, 2) trailing block: the 2x2 eigenvalue closer
+    to the bottom-right entry, via the cancellation-free formula."""
+    x = blk[:, 0, 0]
+    y = blk[:, 0, 1]
+    z = blk[:, 1, 0]
+    w = blk[:, 1, 1]
+    d = (x - w) * 0.5
+    sq = jnp.sqrt(d * d + y * z)
+    s1 = d + sq
+    s2 = d - sq
+    den = jnp.where(jnp.abs(s1) >= jnp.abs(s2), s1, s2)
+    ok = jnp.abs(den) > 0.0
+    return w - jnp.where(ok, (y * z) / jnp.where(ok, den, 1.0),
+                         jnp.zeros_like(w))
+
+
+def eigvals_qr(A, sweeps: int = 14):
+    """Eigenvalues of ``(..., N, N)`` complex/real matrices by batched
+    Hessenberg + shifted-QR, fully on device (no host callback, no XLA
+    ``eig``).  ``sweeps`` = Wilkinson-shifted QR iterations per deflation
+    stage (14 is ample: convergence per eigenvalue is quadratic-to-cubic;
+    the fixed schedule replaces per-matrix early deflation so batches
+    stay in lockstep).
+
+    Analysis-only (wrapped in stop_gradient by callers); eigenvalue
+    order is arbitrary — compare as a set.  Reference semantics:
+    ``torch.linalg.eigvals`` (/root/reference/flamo/functional.py:24-39).
+    """
+    A = jnp.asarray(A)
+    if not jnp.issubdtype(A.dtype, jnp.complexfloating):
+        A = A.astype(jnp.complex64 if A.dtype != jnp.float64
+                     else jnp.complex128)
+    batch = A.shape[:-2]
+    N = A.shape[-1]
+    A = A.reshape((-1, N, N))
+    B = A.shape[0]
+    if N == 1:
+        return A[..., 0, 0].reshape(batch + (1,))
+
+    # spectrum-center + Frobenius scale (eigvals_dk's conditioning trick)
+    mu0 = jnp.trace(A, axis1=-2, axis2=-1) / N
+    H = A - mu0[:, None, None] * jnp.eye(N, dtype=A.dtype)
+    s = jnp.maximum(
+        jnp.sqrt(jnp.sum(jnp.abs(H) ** 2, axis=(-2, -1)) / N), 1e-30)
+    H = H / s[:, None, None].astype(A.dtype)
+
+    H = _hessenberg(H)
+    eyeN = jnp.eye(N, dtype=H.dtype)
+
+    def row_rot(i, carry):
+        """Zero the subdiagonal at column j=i: Givens on rows (j, j+1),
+        identity when j >= m-1 (outside the active block)."""
+        Hr, Hi, car, cai, cbr, cbi, j_active = carry
+        j = i
+        Hc = jax.lax.complex(Hr, Hi)
+        rows = jax.lax.dynamic_slice_in_dim(Hc, j, 2, axis=1)  # (B, 2, N)
+        ab = jax.lax.dynamic_slice(rows, (0, 0, j), (B, 2, 1))[..., 0]
+        a, b = ab[:, 0], ab[:, 1]
+        r = jnp.sqrt(jnp.abs(a) ** 2 + jnp.abs(b) ** 2)
+        okr = (r > 0.0) & (j < j_active)
+        rinv = (1.0 / jnp.where(r > 0.0, r, 1.0)).astype(Hc.dtype)
+        ca = jnp.where(okr, jnp.conj(a) * rinv, jnp.ones_like(a))
+        cb = jnp.where(okr, jnp.conj(b) * rinv, jnp.zeros_like(b))
+        r0 = ca[:, None] * rows[:, 0] + cb[:, None] * rows[:, 1]
+        r1 = (-jnp.conj(cb)[:, None] * rows[:, 0]
+              + jnp.conj(ca)[:, None] * rows[:, 1])
+        new_rows = jnp.stack([r0, r1], axis=1)
+        Hc = jax.lax.dynamic_update_slice_in_dim(Hc, new_rows, j, axis=1)
+        car = jax.lax.dynamic_update_index_in_dim(car, jnp.real(ca), j, 0)
+        cai = jax.lax.dynamic_update_index_in_dim(cai, jnp.imag(ca), j, 0)
+        cbr = jax.lax.dynamic_update_index_in_dim(cbr, jnp.real(cb), j, 0)
+        cbi = jax.lax.dynamic_update_index_in_dim(cbi, jnp.imag(cb), j, 0)
+        return (jnp.real(Hc), jnp.imag(Hc), car, cai, cbr, cbi, j_active)
+
+    def col_rot(i, carry):
+        """RQ phase: right-multiply by G_j^H on columns (j, j+1)."""
+        Hr, Hi, car, cai, cbr, cbi = carry
+        j = i
+        Hc = jax.lax.complex(Hr, Hi)
+        ca = jax.lax.complex(car[j], cai[j])
+        cb = jax.lax.complex(cbr[j], cbi[j])
+        cols = jax.lax.dynamic_slice_in_dim(Hc, j, 2, axis=2)  # (B, N, 2)
+        c0 = (cols[:, :, 0] * jnp.conj(ca)[:, None]
+              + cols[:, :, 1] * jnp.conj(cb)[:, None])
+        c1 = (-cols[:, :, 0] * cb[:, None] + cols[:, :, 1] * ca[:, None])
+        new_cols = jnp.stack([c0, c1], axis=2)
+        Hc = jax.lax.dynamic_update_slice_in_dim(Hc, new_cols, j, axis=2)
+        return (jnp.real(Hc), jnp.imag(Hc), car, cai, cbr, cbi)
+
+    def sweep(i, carry):
+        Hr, Hi = carry
+        Hc = jax.lax.complex(Hr, Hi)
+        m = N - i // sweeps  # active block size, N..2
+        blk = jax.lax.dynamic_slice(Hc, (0, m - 2, m - 2), (B, 2, 2))
+        mu = _wilkinson_shift(blk)
+        # Francis exceptional shift every 6th sweep: breaks the
+        # measure-zero cycling cases (e.g. permutation blocks) where the
+        # Wilkinson shift is equidistant from two eigenvalues
+        exc = blk[:, 1, 1] + 0.75 * jnp.abs(blk[:, 1, 0]).astype(Hc.dtype)
+        mu = jnp.where(i % 6 == 5, exc, mu)
+        # full-diagonal shift is exact: rotations never touch the
+        # deflated block (identity for j >= m-1), so +mu below restores
+        # its diagonal bit-for-bit
+        Hc = Hc - mu[:, None, None] * eyeN
+        zc = jnp.zeros((N - 1, B), jnp.real(Hc).dtype)
+        Hr2, Hi2, car, cai, cbr, cbi, _ = jax.lax.fori_loop(
+            0, N - 1, row_rot,
+            (jnp.real(Hc), jnp.imag(Hc), zc, zc, zc, zc, m - 1))
+        Hr2, Hi2, *_ = jax.lax.fori_loop(
+            0, N - 1, col_rot, (Hr2, Hi2, car, cai, cbr, cbi))
+        Hc = jax.lax.complex(Hr2, Hi2) + mu[:, None, None] * eyeN
+        return jnp.real(Hc), jnp.imag(Hc)
+
+    Hr, Hi = jax.lax.fori_loop(0, sweeps * (N - 1), sweep,
+                               (jnp.real(H), jnp.imag(H)))
+    H = jax.lax.complex(Hr, Hi)
+    z = jnp.diagonal(H, axis1=-2, axis2=-1)
+    out = z * s[:, None].astype(z.dtype) + mu0[:, None]
+    return out.reshape(batch + (N,))

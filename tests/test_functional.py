@@ -440,3 +440,81 @@ def test_charpoly_bf16_failure_mode_documented():
     err_bad = _match_sets(z_bad, ref)
     assert err_good < 1e-4, err_good
     assert err_bad > 10 * err_good, (err_bad, err_good)
+
+
+def test_eigvals_qr_matches_lapack():
+    """On-device Hessenberg+shifted-QR eigensolver (ops.qr_eig) vs
+    LAPACK above the char-poly gate (reference functional.py:24-39
+    computes torch.linalg.eigvals for ANY N; on the callback-less axon
+    backend this solver is what lifts the old N<=8 ceiling)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    for N in (13, 16):
+        Ac = (rng.normal(size=(6, N, N))
+              + 1j * rng.normal(size=(6, N, N))).astype(np.complex64)
+        Ar = rng.normal(size=(6, N, N)).astype(np.float32)
+        for A in (Ac, Ar):
+            ref = np.linalg.eigvals(A)
+            z = np.asarray(jax.jit(F.eigvals_qr)(jnp.asarray(A)))
+            assert z.shape == ref.shape
+            err = _match_sets(z, ref)
+            assert err < 1e-4, (N, A.dtype, err)
+
+
+def test_eigvals_qr_hard_spectra():
+    """Clustered eigenvalues (1e-3 separation) and a circulant
+    permutation block (the Wilkinson-shift cycling hazard the
+    exceptional shift exists for)."""
+    import numpy as np
+
+    rng = np.random.default_rng(8)
+    N = 12
+    d = np.concatenate([np.full(N // 2, 1.0),
+                        np.full(N - N // 2, 1.0 + 1e-3)])
+    Q = np.linalg.qr(rng.normal(size=(N, N))
+                     + 1j * rng.normal(size=(N, N)))[0]
+    A = (Q @ np.diag(d) @ Q.conj().T).astype(np.complex64)[None]
+    err = _match_sets(np.asarray(F.eigvals_qr(jnp.asarray(A))),
+                      np.linalg.eigvals(A))
+    assert err < 1e-4, err
+
+    P = np.eye(10, dtype=np.complex64)[list(range(1, 10)) + [0]][None]
+    err = _match_sets(np.asarray(F.eigvals_qr(jnp.asarray(P))),
+                      np.linalg.eigvals(P))
+    assert err < 1e-4, err
+
+
+@pytest.mark.slow
+def test_eigvals_qr_n32():
+    """Full gated range (compile-heavy: the Hessenberg unroll grows
+    with N)."""
+    import numpy as np
+
+    rng = np.random.default_rng(9)
+    A = (rng.normal(size=(4, 32, 32))
+         + 1j * rng.normal(size=(4, 32, 32))).astype(np.complex64)
+    err = _match_sets(np.asarray(jax.jit(F.eigvals_qr)(jnp.asarray(A))),
+                      np.linalg.eigvals(A))
+    assert err < 1e-4, err
+
+
+def test_get_eigenvalues_qr_dispatch(monkeypatch):
+    """On callback-less backends get_eigenvalues must route 8 < N <= 32
+    to the QR solver (and still refuse N > 32 with a clear error)."""
+    import numpy as np
+
+    import flamo_tpu.functional as Fm
+
+    monkeypatch.setattr(Fm, "_callbacks_unsupported", lambda: True)
+    rng = np.random.default_rng(10)
+    A = (rng.normal(size=(3, 16, 16))
+         + 1j * rng.normal(size=(3, 16, 16))).astype(np.complex64)
+    z = np.asarray(Fm.get_eigenvalues(jnp.asarray(A)))
+    err = _match_sets(z, np.linalg.eigvals(A))
+    assert err < 1e-4, err
+    big = jnp.zeros((2, 40, 40), jnp.complex64)
+    with pytest.raises(NotImplementedError):
+        Fm.get_eigenvalues(big)
+    with pytest.raises(NotImplementedError):
+        Fm.eigvals(jnp.zeros((2, 16, 16), jnp.complex64))
