@@ -507,7 +507,7 @@ def measure_aa_evs_train_steps_per_sec(k: int = 100, n_calls: int = 3,
         m, opt_state, loss = jm(m, opt_state, er, ei, tg, c * k)
     jax.block_until_ready(loss)
     sps = n_calls * k / (time.perf_counter() - t0)
-    fl = float(loss)
+    fl = float(loss[-1])
     if not (fl == fl and 0.0 <= fl < 1e3):
         raise RuntimeError(f"aa evs loss degenerated: {fl}")
     return sps
@@ -655,15 +655,68 @@ def measure_torch_baseline(n_steps: int = 10):
     return n_steps / (time.perf_counter() - t0)
 
 
+def measure_torch_freq_evals_baseline(n_evals: int = 5):
+    """Reference side of the SECONDARY metric (BASELINE.md line 15):
+    ``Shell.get_freq_response`` evaluations/sec for the colorless FDN at
+    nfft=96000 — the same per-bin closed-loop response math as the train
+    step minus loss/backward/update (reference system.py:1081-1153),
+    eager torch float32 on CPU."""
+    import torch
+
+    torch.manual_seed(130709)
+    N = len(DELAYS)
+    M = NFFT // 2 + 1
+    delays = torch.tensor(DELAYS, dtype=torch.float32)
+    input_gain = torch.randn(N, 1)
+    output_gain = torch.randn(1, N)
+    W = torch.randn(N, N)
+    gamma = 10 ** (-30.0 / NFFT / 20)
+    omega = 2 * torch.pi * torch.arange(M) / NFFT
+    x = torch.zeros(1, M, 1)
+    x[:, 0, :] = 1.0
+
+    @torch.no_grad()
+    def eval_response():
+        X = torch.fft.rfft(x, n=NFFT, dim=1)
+        U = torch.matrix_exp(torch.triu(W, 1) - torch.triu(W, 1).T)
+        D = (gamma ** delays)[None, :] * torch.exp(
+            -1j * omega[:, None] * delays[None, :])
+        I = torch.eye(N, dtype=torch.complex64).expand(M, N, N)
+        A = I - D[:, :, None] * U[None, :, :].to(torch.complex64)
+        u_in = input_gain.to(torch.complex64) @ X.permute(1, 2, 0)
+        B = D[:, :, None] * u_in
+        y = torch.linalg.solve(A, B)
+        out = (output_gain.to(torch.complex64) @ y).permute(2, 0, 1)
+        return torch.abs(out)
+
+    eval_response()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_evals):
+        eval_response()
+    return n_evals / (time.perf_counter() - t0)
+
+
 def get_baseline(refresh: bool = False):
+    """Cached torch-CPU baselines: primary train steps/s + secondary
+    freq-response evals/s.  Returns the dict; re-measures any missing
+    entry and rewrites the cache."""
+    data = {}
     if not refresh and os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["torch_cpu_steps_per_sec"]
-    sps = measure_torch_baseline()
-    with open(BASELINE_CACHE, "w") as f:
-        json.dump({"torch_cpu_steps_per_sec": sps,
-                   "workload": "colorless_fdn nfft=96000 N=6"}, f)
-    return sps
+            data = json.load(f)
+    changed = False
+    if "torch_cpu_steps_per_sec" not in data:
+        data["torch_cpu_steps_per_sec"] = measure_torch_baseline()
+        data["workload"] = "colorless_fdn nfft=96000 N=6"
+        changed = True
+    if "torch_cpu_freq_evals_per_sec" not in data:
+        data["torch_cpu_freq_evals_per_sec"] = (
+            measure_torch_freq_evals_baseline())
+        changed = True
+    if changed or refresh:
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(data, f)
+    return data
 
 
 def pallas_forward_gate(candidate: str = "pallas"):
@@ -824,7 +877,8 @@ def main():
         print(json.dumps({"steps_per_sec": sps, "final_loss": fl}))
         return
 
-    baseline = get_baseline(refresh=args.refresh_baseline)
+    baselines = get_baseline(refresh=args.refresh_baseline)
+    baseline = baselines["torch_cpu_steps_per_sec"]
     fallback_note = None
     solve_used = args.solve
     steps_per_sec = final_loss = None
@@ -901,6 +955,7 @@ def main():
             "torch_cpu_baseline_steps_per_sec": round(baseline, 3),
             "final_loss": final_loss,
         }
+        evals_baseline = baselines.get("torch_cpu_freq_evals_per_sec")
         # (name, fn, repeats): the tunnel's dispatch/transfer bandwidth
         # goes through slow phases (measured 70x on the ensemble metric
         # while latency-bound controls held) — throughput metrics take
@@ -998,6 +1053,12 @@ def main():
                     last_err = e
             extra[name] = (round(max(vals), 3) if vals
                            else f"error: {str(last_err)[:60]}")
+            if (name == "freq_response_evals_per_sec" and vals
+                    and evals_baseline):
+                extra["freq_evals_vs_baseline"] = round(
+                    max(vals) / evals_baseline, 2)
+                extra["torch_cpu_freq_evals_per_sec"] = round(
+                    evals_baseline, 3)
         try:
             extra.update(measure_n64_solve_ms())
         except Exception as e:  # pragma: no cover - backend flakiness

@@ -103,6 +103,12 @@ def save_model_params(aa, train_dir, filename):
     return param
 
 
+def mse_evs_ref(criterion, model, x, t):
+    """Module-graph forward + mse_evs at step 0 — the parity reference
+    the fast path's first fused loss is gated against."""
+    return criterion(model(x), t, step=0, state=criterion.mask_indices)
+
+
 def main(args):
     import jax.numpy as jnp
 
@@ -110,6 +116,8 @@ def main(args):
     from flamo_tpu.models import ActiveAcoustics
     from flamo_tpu.optimize import DatasetColorless, Trainer, load_dataset
     from flamo_tpu.optimize.loss import mse_evs
+
+    from flamo_tpu.utils import host_eager, to_device
 
     nfft = args.nfft
     M = nfft // 2 + 1
@@ -120,44 +128,100 @@ def main(args):
                                       args.loudspeakers, n_A,
                                       args.rir_length)
 
-    aa = ActiveAcoustics(n_S=n_S, n_M=args.mics, n_L=args.loudspeakers,
-                         n_A=n_A, fs=args.samplerate, nfft=nfft,
-                         FIR_order=args.fir_order, wgn_RT=args.wgn_rt,
-                         alias_decay_db=args.alias_decay_db,
-                         room_irs=room_irs, rir_length=args.rir_length,
-                         room_t60=args.room_t60, solve_method=args.solve)
+    # construction + GBI/evs/IR analysis are eager module math — run on
+    # the host (CLAUDE.md: only jitted code should touch a tunneled
+    # accelerator); the training below jits on the default backend
+    with host_eager():
+        aa = ActiveAcoustics(n_S=n_S, n_M=args.mics,
+                             n_L=args.loudspeakers,
+                             n_A=n_A, fs=args.samplerate, nfft=nfft,
+                             FIR_order=args.fir_order, wgn_RT=args.wgn_rt,
+                             alias_decay_db=args.alias_decay_db,
+                             room_irs=room_irs, rir_length=args.rir_length,
+                             room_t60=args.room_t60,
+                             solve_method=args.solve)
 
-    # ---- performance at initialization (reference :699-707) ----
-    aa.normalize_U()
-    gbi_init = aa.get_current_GBI()
-    aa.set_G(db2mag(mag2db(gbi_init) + args.start_gain_db))
-    evs_init = aa.get_F_MM_eigenvalues()[0]
-    ir_init = aa.system_simulation()[0]
+        # ---- performance at initialization (reference :699-707) ----
+        aa.normalize_U()
+        gbi_init = aa.get_current_GBI()
+        aa.set_G(db2mag(mag2db(gbi_init) + args.start_gain_db))
+        evs_init = aa.get_F_MM_eigenvalues()[0]
+        ir_init = aa.system_simulation()[0]
     save_model_params(aa, args.train_dir, "AA_parameters_init")
 
     # ---- train the eigenvalue objective (reference :709-739) ----
-    ds = DatasetColorless(input_shape=(1, M, args.mics),
-                          target_shape=(1, M, args.mics),
-                          expand=args.num)
-    train_loader, valid_loader = load_dataset(
-        ds, batch_size=args.batch_size, split=args.split, shuffle=False)
-    trainer = Trainer(aa.F_MM, max_epochs=args.max_epochs, lr=args.lr,
-                      patience_delta=args.patience_delta,
-                      train_dir=args.train_dir)
-    trainer.register_criterion(mse_evs(iter_num=len(train_loader),
-                                       freq_points=M), 1)
-    trainer.train(train_loader, valid_loader)
-    print("active acoustics final MSE_evs:", trainer.train_loss[-1])
-    assert np.isfinite(trainer.train_loss[-1])
-    assert trainer.train_loss[-1] <= trainer.train_loss[0] * 1.05, (
+    with host_eager():
+        ds = DatasetColorless(input_shape=(1, M, args.mics),
+                              target_shape=(1, M, args.mics),
+                              expand=args.num)
+        train_loader, valid_loader = load_dataset(
+            ds, batch_size=args.batch_size, split=args.split, shuffle=False)
+        criterion = mse_evs(iter_num=len(train_loader), freq_points=M)
+    n_steps = args.max_epochs * len(train_loader)
+    trained = None
+
+    if args.fast != "graph":
+        # paved-road fast path: the lanes-major fused eigenvalue step
+        # (models.aa_evs_fit, 7076 steps/s on TPU vs ~1/s through the
+        # eager graph Trainer — BENCH.md), sharing the criterion's
+        # partition schedule and gated on first-step loss parity against
+        # the module-graph forward (same pattern as bench.py)
+        import jax
+
+        from flamo_tpu.models import aa_evs_fit
+
+        x0, t0 = next(iter(train_loader))
+        try:
+            graph_loss = float(jax.jit(
+                lambda m, x, t: mse_evs_ref(criterion, m, x, t))(
+                    aa.F_MM, x0, t0))
+            shell, losses = aa_evs_fit(
+                aa, t0[0], n_steps=n_steps, lr=args.lr,
+                iter_num=len(train_loader),
+                masks=criterion.mask_indices)
+            rel = abs(float(losses[0]) - graph_loss) / max(
+                1e-9, abs(graph_loss))
+            # the fused path runs its contractions at f32 HIGHEST while
+            # the graph forward uses the TPU's default bf16 matmul
+            # passes — ~1e-3 apart even for exact fused math (bench.py)
+            if rel < 5e-3 and np.isfinite(losses).all():
+                trained = shell
+                train_loss = [float(losses[0]), float(losses[-1])]
+                print(f"fast path: {len(losses)} fused evs steps, loss "
+                      f"{losses[0]:.5f} -> {losses[-1]:.5f} "
+                      f"(graph parity rel={rel:.1e})")
+            else:
+                print(f"fast path parity gate failed (rel={rel:.1e}) — "
+                      "falling back to the graph Trainer")
+        except Exception as e:
+            if args.fast == "fused":
+                raise
+            print(f"fast path unavailable ({type(e).__name__}: {e}) — "
+                  "falling back to the graph Trainer")
+
+    if trained is None:
+        trainer = Trainer(aa.F_MM, max_epochs=args.max_epochs, lr=args.lr,
+                          patience_delta=args.patience_delta,
+                          train_dir=args.train_dir)
+        trainer.register_criterion(criterion, 1)
+        trainer.train(train_loader, valid_loader)
+        trained = trainer.net
+        train_loss = trainer.train_loss
+    print("active acoustics final MSE_evs:", train_loss[-1])
+    assert np.isfinite(train_loss[-1])
+    assert train_loss[-1] <= train_loss[0] * 1.05, (
         "eigenvalue loss did not improve")
 
     # ---- performance after optimization (reference :741-755) ----
-    aa.adopt(trainer.net)
-    aa.normalize_U()
-    evs_opt = aa.get_F_MM_eigenvalues()[0]
-    ir_opt = aa.system_simulation()[0]
-    gbi_opt = aa.get_current_GBI()
+    with host_eager():
+        import jax
+
+        trained = to_device(trained, jax.devices("cpu")[0])
+        aa.adopt(trained)
+        aa.normalize_U()
+        evs_opt = aa.get_F_MM_eigenvalues()[0]
+        ir_opt = aa.system_simulation()[0]
+        gbi_opt = aa.get_current_GBI()
     print(f"GBI init = {float(mag2db(gbi_init)):.2f} dB, "
           f"GBI optimized = {float(mag2db(gbi_opt)):.2f} dB")
     save_model_params(aa, args.train_dir, "AA_parameters_optim")
@@ -187,6 +251,14 @@ if __name__ == "__main__":
                     help="time-alias decay (reference example: -20)")
     ap.add_argument("--start_gain_db", type=float, default=0.0,
                     help="dB offset from the GBI at training start")
+    ap.add_argument("--fast", type=str, default="auto",
+                    choices=["auto", "fused", "graph"],
+                    help="eigenvalue-training path: 'auto' (default) "
+                         "tries the fused lanes-major evs step "
+                         "(models.aa_evs_fit, 7076 steps/s on TPU) behind "
+                         "a loss-parity gate and falls back to the graph "
+                         "Trainer; 'fused' requires it; 'graph' forces "
+                         "the reference-style Trainer loop")
     ap.add_argument("--rir_dir", type=str, default=None,
                     help="directory of measured mic{i}_speaker{j}.wav RIRs")
     ap.add_argument("--rir_length", type=int, default=None,

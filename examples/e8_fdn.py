@@ -56,16 +56,28 @@ def _target_rir(args, nfft):
 
 def _save_ir(model, path, fs):
     """Render the model IR and write it as a normalized WAV (the reference's
-    ir_init/ir_optim artifacts)."""
+    ir_init/ir_optim artifacts).  Rendered under jit so a tunneled
+    accelerator pays one compile instead of per-op round-trips — and so
+    Pallas-backed models Mosaic-compile instead of hitting the CPU
+    interpreter (get_time_response is functional, CLAUDE.md)."""
     from flamo_tpu.utils import save_audio
 
-    ir = np.asarray(model.get_time_response(identity=False, fs=fs)).squeeze()
+    ir = np.asarray(jax.jit(
+        lambda m: m.get_time_response(identity=False, fs=fs))(model)
+    ).squeeze()
     save_audio(path, ir / np.max(np.abs(ir)), fs=fs)
     return ir
 
 
-def _build_reference_fdn(args, N, delay_lengths, alias_db, direct=False):
-    """The reference e8 topology: Recursion(fF=delays, fB=mixing·GEQ)."""
+def _build_reference_fdn(args, N, delay_lengths, alias_db, direct=False,
+                         backend="xla"):
+    """The reference e8 topology: Recursion(fF=delays, fB=mixing·GEQ).
+
+    ``backend='pallas'`` routes the two hot per-bin chains through the
+    fused Mosaic kernels — the GEQ SOS cascade (cascade_backend) and the
+    closed-loop solve (solve_method) — with identical loss semantics
+    (the attenuated bench workload measured 1219 -> 2504 steps/s from
+    exactly this swap, BENCH.md)."""
     from flamo_tpu.processor import dsp, system
 
     nfft = args.nfft
@@ -82,10 +94,13 @@ def _build_reference_fdn(args, N, delay_lengths, alias_db, direct=False):
     atten = dsp.parallelGEQ(
         size=(N,), octave_interval=1, nfft=nfft, fs=args.samplerate,
         map=lambda x: 20 * jnp.log10(jax.nn.sigmoid(x)),
-        requires_grad=True, alias_decay_db=alias_db)
+        requires_grad=True, alias_decay_db=alias_db,
+        cascade_backend=backend if backend == "pallas" else "xla")
     fb = system.Series(OrderedDict(
         {"mixing_matrix": mix, "attenuation": atten}))
-    loop = system.Recursion(fF=dl, fB=fb)
+    loop = system.Recursion(fF=dl, fB=fb,
+                            solve_method="pallas" if backend == "pallas"
+                            else "ge")
     branch_a = system.Series(OrderedDict({
         "input_gain": ig, "feedback_loop": loop, "output_gain": og}))
     if direct:
@@ -101,23 +116,92 @@ def _build_reference_fdn(args, N, delay_lengths, alias_db, direct=False):
         output_layer=dsp.iFFTAntiAlias(nfft=nfft, alias_decay_db=alias_db))
 
 
-def _train_to_rir(args, model, tag):
-    """Shared train-to-target-RIR block of the fdn/direct scenarios."""
+def _pick_backend(args, build_fn, target):
+    """Resolve ``--backend auto`` into a concrete model: 'auto' tries the
+    fused Pallas cascade+solve build behind an initial-loss parity gate
+    against the XLA build (same pattern as bench.py's attenuated ladder)
+    and falls back on mismatch or failure; CPU defaults to XLA (the
+    Pallas interpreter is slower there).  The picker re-seeds before
+    each build so both backends get bit-identical initial parameters."""
+    import flamo_tpu
+    from flamo_tpu.functional import signal_gallery
+    from flamo_tpu.optimize.loss import mss_loss, sparsity_loss
+
+    from flamo_tpu.utils import host_eager
+
+    choice = args.backend
+    if choice == "auto":
+        choice = "xla" if jax.default_backend() == "cpu" else "pallas"
+    if choice == "xla":
+        flamo_tpu.set_seed(args.seed)
+        with host_eager():
+            return build_fn("xla"), "xla"
+
+    mss = mss_loss(nfft=[256, 512, 1024], sample_rate=args.samplerate)
+    sp = sparsity_loss()
+    with host_eager():
+        x = signal_gallery(1, args.nfft, 1, "impulse")
+
+    def init_loss(m):
+        est = m(x)
+        return mss(est, target) + sp(est, target, m)
+
+    losses = {}
+    models = {}
+    for be in ("xla", "pallas"):
+        flamo_tpu.set_seed(args.seed)  # identical init for both builds
+        with host_eager():  # eager construction on CPU (CLAUDE.md)
+            models[be] = build_fn(be)
+        try:
+            # the gate jit runs on the DEFAULT backend (Mosaic on TPU)
+            losses[be] = float(jax.jit(init_loss)(models[be]))
+        except Exception as e:
+            if args.backend == "pallas":
+                raise
+            print(f"backend {be} failed ({type(e).__name__}: {e}); "
+                  "using xla")
+            return models["xla"], "xla"
+    rel = (abs(losses["pallas"] - losses["xla"])
+           / max(1e-9, abs(losses["xla"])))
+    if rel < 5e-3:
+        print(f"backend=pallas (fused cascade+solve kernels; init-loss "
+              f"parity rel={rel:.1e})")
+        return models["pallas"], "pallas"
+    if args.backend == "pallas":
+        raise RuntimeError(
+            f"pallas backend parity gate failed: {losses}, rel={rel:.2e}")
+    print(f"pallas parity gate failed (rel={rel:.1e}); using xla")
+    return models["xla"], "xla"
+
+
+def _train_to_rir(args, model, tag, target=None):
+    """Shared train-to-target-RIR block of the fdn/direct scenarios.
+
+    On accelerators every epoch trains through the fused ``lax.scan``
+    path (Trainer.train(scan=True) — numerically the identical step
+    sequence, no per-step host round-trips); CPU keeps the eager loop
+    unless ``--scan`` asks otherwise."""
     from flamo_tpu.optimize import Dataset, Trainer, load_dataset
     from flamo_tpu.optimize.loss import mss_loss, sparsity_loss
     from flamo_tpu.functional import signal_gallery
 
+    from flamo_tpu.utils import host_eager
+
     _save_ir(model, os.path.join(args.train_dir, f"ir_init_{tag}.wav"),
              args.samplerate)
-    ds = Dataset(input=signal_gallery(1, args.nfft, 1, "impulse"),
-                 target=_target_rir(args, args.nfft), expand=args.num)
+    with host_eager():
+        if target is None:
+            target = _target_rir(args, args.nfft)
+        ds = Dataset(input=signal_gallery(1, args.nfft, 1, "impulse"),
+                     target=target, expand=args.num)
     tl, vl = load_dataset(ds, batch_size=args.batch_size, split=args.split)
     trainer = Trainer(model, max_epochs=args.max_epochs, lr=args.lr,
                       train_dir=args.train_dir)
     trainer.register_criterion(
         mss_loss(nfft=[256, 512, 1024], sample_rate=args.samplerate), 1)
     trainer.register_criterion(sparsity_loss(), 1, requires_model=True)
-    trainer.train(tl, vl)
+    use_scan = args.scan or jax.default_backend() != "cpu"
+    trainer.train(tl, vl, scan=use_scan)
     model = trainer.net
     _save_ir(model, os.path.join(args.train_dir, f"ir_optim_{tag}.wav"),
              args.samplerate)
@@ -128,18 +212,30 @@ def _train_to_rir(args, model, tag):
 
 def example_fdn(args):
     """Reference example_fdn: train the N=6 FDN to match the target RIR."""
+    from flamo_tpu.utils import host_eager
+
     delay_lengths = (593, 743, 929, 1153, 1399, 1699)
-    model = _build_reference_fdn(args, N=6, delay_lengths=delay_lengths,
-                                 alias_db=30)
-    _train_to_rir(args, model, tag="fdn")
+    with host_eager():
+        target = _target_rir(args, args.nfft)
+    model, _ = _pick_backend(
+        args, lambda be: _build_reference_fdn(
+            args, N=6, delay_lengths=delay_lengths, alias_db=30,
+            backend=be), target)
+    _train_to_rir(args, model, tag="fdn", target=target)
 
 
 def example_fdn_direct(args):
     """Reference example_fdn_direct: FDN ∥ clip-mapped direct-path gain."""
+    from flamo_tpu.utils import host_eager
+
     delay_lengths = (593, 743, 929, 1153, 1399, 1699)
-    model = _build_reference_fdn(args, N=6, delay_lengths=delay_lengths,
-                                 alias_db=30, direct=True)
-    _train_to_rir(args, model, tag="direct")
+    with host_eager():
+        target = _target_rir(args, args.nfft)
+    model, _ = _pick_backend(
+        args, lambda be: _build_reference_fdn(
+            args, N=6, delay_lengths=delay_lengths, alias_db=30,
+            direct=True, backend=be), target)
+    _train_to_rir(args, model, tag="direct", target=target)
 
 
 def example_fdn_accurate_geq(args):
@@ -335,6 +431,14 @@ if __name__ == "__main__":
     ap.add_argument("--attenuation", type=str, default="geq",
                     choices=["geq", "accurate_geq", "peq", "shelving"])
     ap.add_argument("--scan", action="store_true",
-                    help="fused whole-epoch scan training (TPU fast path)")
+                    help="fused whole-epoch scan training (always on for "
+                         "accelerator backends; this forces it on CPU too)")
+    ap.add_argument("--backend", type=str, default="auto",
+                    choices=["auto", "pallas", "xla"],
+                    help="per-bin kernel backend for the fdn/direct "
+                         "scenarios: 'auto' uses the fused Pallas "
+                         "cascade+solve kernels on accelerators behind an "
+                         "init-loss parity gate (bench.py's pattern) and "
+                         "XLA on CPU")
     args = setup(ap.parse_args())
     main(args)

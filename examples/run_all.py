@@ -16,7 +16,11 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
-# (script, extra CLI args) at the reference's workload shapes
+# (script, extra CLI args) at the reference's workload shapes.  Both
+# jobs run their gated fast paths by default (e8_fdn: fused Pallas
+# cascade+solve kernels + whole-epoch scan; active acoustics: the fused
+# lanes-major evs training step) and fall back to the XLA graph paths
+# if the parity gates fail on the attached backend.
 FULL_JOBS = [
     ("e8_fdn.py",
      ["--nfft", "96000", "--scenario", "fdn", "--max_epochs", "3",
@@ -25,7 +29,7 @@ FULL_JOBS = [
      ["--nfft", "96000", "--mics", "4", "--loudspeakers", "13",
       "--fir_order", "100", "--rir_length", "15000", "--wgn_rt", "1.0",
       "--room_t60", "0.5", "--max_epochs", "2", "--num", "8",
-      "--batch_size", "1", "--solve", "ge_cached"]),
+      "--batch_size", "1"]),
 ]
 
 

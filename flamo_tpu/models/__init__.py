@@ -7,8 +7,8 @@ from flamo_tpu.models.attenuated_fdn import (
     build_attenuated_fdn, extract_attenuated_operands,
 )
 from flamo_tpu.models.active_acoustics import (
-    ActiveAcoustics, aa_dft_basis, aa_evs_train_step, aa_fused_step,
-    aa_hoisted_room_step,
+    ActiveAcoustics, aa_dft_basis, aa_evs_fit, aa_evs_train_step,
+    aa_fused_step, aa_hoisted_room_step,
     build_active_acoustics, gain_before_instability,
     gain_before_instability_diff, open_loop_eigenvalues, open_loop_matrix,
 )

@@ -502,7 +502,7 @@ def _sort_rows(x):
 
 
 def aa_evs_train_step(aa: "ActiveAcoustics", target_evs, lr: float = 1e-3,
-                      iter_num: int = 30, key=None):
+                      iter_num: int = 30, masks=None, key=None):
     """Build (jittable_multi, opt_state, er, ei) for the reference's TRUE
     active-acoustics training objective: eigenvalue-magnitude MSE over
     cycling bin partitions of the feedback-loop matrix
@@ -532,8 +532,12 @@ def aa_evs_train_step(aa: "ActiveAcoustics", target_evs, lr: float = 1e-3,
 
     ``multi(m, o, er, ei, tg, step0, k)`` scans ``k`` steps starting at
     global step index ``step0`` (the partition cycles with the step
-    index, matching mse_evs).  ``m`` is the F_MM shell; only trainable
-    leaves (U) receive updates (masked Adam)."""
+    index, matching mse_evs) and returns ``(m, o, losses)`` with the
+    full ``(k,)`` per-step loss history.  ``m`` is the F_MM shell; only
+    trainable leaves (U) receive updates (masked Adam).  ``masks`` lets
+    the caller share partitions with an ``optimize.mse_evs`` criterion
+    (pass its ``mask_indices``) so the two paths are step-for-step
+    comparable; by default fresh partitions are generated."""
     import optax
 
     from flamo_tpu.core import masked_optimizer
@@ -547,7 +551,11 @@ def aa_evs_train_step(aa: "ActiveAcoustics", target_evs, lr: float = 1e-3,
     M = nfft // 2 + 1
     order, n_L, n_M = U.param.shape
     n_samples = int(np.ceil(M / iter_num))
-    masks = generate_partitions(jnp.arange(M), n_samples, 1, key=key)
+    if masks is None:
+        masks = generate_partitions(jnp.arange(M), n_samples, 1, key=key)
+    else:
+        masks = jnp.asarray(masks)
+        n_samples = int(masks.shape[1])
     n_parts = int(masks.shape[0])
     # one flat partition-order permutation; step i's bins are the
     # contiguous window [ (i % n_parts) * n_samples, +n_samples )
@@ -628,6 +636,40 @@ def aa_evs_train_step(aa: "ActiveAcoustics", target_evs, lr: float = 1e-3,
 
         (m, o), losses = jax.lax.scan(body, (m, o),
                                       step0 + jnp.arange(k))
-        return m, o, losses[-1]
+        return m, o, losses
 
     return multi, opt_state, er, ei
+
+
+def aa_evs_fit(aa: "ActiveAcoustics", target_evs, n_steps: int,
+               lr: float = 1e-3, iter_num: int = 30, masks=None,
+               steps_per_call: int = 400, key=None):
+    """Run the lanes-major fused eigenvalue training
+    (:func:`aa_evs_train_step`) end to end: build, jit, scan ``n_steps``
+    optimizer steps in <= ``steps_per_call`` chunks, and return
+    ``(trained F_MM shell, per-step loss history)``.
+
+    This is the paved-road entry the e8 active-acoustics example uses on
+    accelerators (7076 steps/s on the tunnel vs ~1/s through the eager
+    Trainer graph path, BENCH.md); semantics are ``optimize.mse_evs``
+    over cycling bin partitions, trainee ``U``
+    (reference e8_active_acoustics.py:564-621, 671-739).  Pass the
+    criterion's ``mask_indices`` as ``masks`` so the partition schedule
+    matches a Trainer run step for step.  Pull the result back with
+    ``aa.adopt(shell)``."""
+    from flamo_tpu.utils import to_device
+
+    multi, opt_state, er, ei = aa_evs_train_step(
+        aa, target_evs, lr=lr, iter_num=iter_num, masks=masks, key=key)
+    m, o, er, ei, tg = to_device(
+        (aa.F_MM, opt_state, jnp.asarray(er), jnp.asarray(ei),
+         jnp.asarray(target_evs)))
+    jm = jax.jit(multi, static_argnums=(6,), donate_argnums=(0, 1))
+    history = []
+    step0 = 0
+    while step0 < n_steps:
+        k = min(steps_per_call, n_steps - step0)
+        m, o, losses = jm(m, o, er, ei, tg, jnp.asarray(step0), k)
+        history.append(np.asarray(losses))
+        step0 += k
+    return m, np.concatenate(history)

@@ -45,8 +45,13 @@ def _interpret() -> bool:
     """Run the kernels through the Pallas interpreter on the CPU backend
     (CI, `--device cpu` examples); Mosaic-compile on TPU backends (incl.
     the tunneled 'axon' platform, where Mosaic kernels run as of
-    2026-08-16)."""
-    return jax.default_backend() == "cpu"
+    2026-08-16).  Eager calls under ``utils.host_eager()`` (default
+    DEVICE pinned to cpu while the default backend stays 'tpu') must
+    interpret too — Mosaic lowering on the CPU platform is an error."""
+    if jax.default_backend() == "cpu":
+        return True
+    dd = jax.config.jax_default_device
+    return dd is not None and dd.platform == "cpu"
 
 
 # ---------------------------------------------------------------------------

@@ -115,7 +115,18 @@ class Trainer:
         self._tx = masked_optimizer(optax.adam(learning_rate=schedule),
                                     self.net)
         self._mask = trainable_mask(self.net)
-        self._opt_state = self._tx.init(self.net)
+        # init on HOST and ship (CLAUDE.md): eager init on a tunneled
+        # accelerator pays a round-trip per leaf, and jit-produced state
+        # carries non-default layouts that tax every later step
+        from flamo_tpu.utils import host_eager, to_device
+
+        if jax.default_backend() == "cpu":
+            self._opt_state = self._tx.init(self.net)
+        else:
+            with host_eager():
+                net_h = to_device(self.net, jax.devices("cpu")[0])
+                opt_state = self._tx.init(net_h)
+            self._opt_state = to_device(opt_state)
 
         def train_step(model, opt_state, inputs, targets, step, loss_state):
             def loss_fn(m):

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 import flamo_tpu
 from flamo_tpu.models import (
@@ -157,6 +158,7 @@ def test_active_acoustics_trains_mse_evs():
     assert np.isfinite(float(aa.get_current_GBI()))
 
 
+@pytest.mark.slow
 def test_aa_evs_train_step_matches_mse_evs():
     """The linop-composed eigenvalue training step (aa_evs_train_step)
     matches the module-graph F_MM forward + optimize.mse_evs loss on the
@@ -181,7 +183,7 @@ def test_aa_evs_train_step_matches_mse_evs():
     multi1, opt1, er1, ei1 = aa_evs_train_step(aa, tg, lr=1e-3, iter_num=1)
     er1, ei1 = jnp.asarray(er1), jnp.asarray(ei1)
     l_cmp = float(jax.jit(
-        lambda m, o, er, ei, tg: multi1(m, o, er, ei, tg, 0, 1)[2])(
+        lambda m, o, er, ei, tg: multi1(m, o, er, ei, tg, 0, 1)[2][-1])(
             aa.F_MM, opt1, er1, ei1, tg))
     assert abs(l_cmp - l_ref) / abs(l_ref) < 1e-4
 
@@ -189,6 +191,6 @@ def test_aa_evs_train_step_matches_mse_evs():
     er, ei = jnp.asarray(er), jnp.asarray(ei)
     run = jax.jit(lambda m, o, er, ei, tg, k: multi(m, o, er, ei, tg, 0, k),
                   static_argnums=(5,))
-    l0 = float(run(aa.F_MM, opt_state, er, ei, tg, 1)[2])
-    l40 = float(run(aa.F_MM, opt_state, er, ei, tg, 40)[2])
+    l0 = float(run(aa.F_MM, opt_state, er, ei, tg, 1)[2][-1])
+    l40 = float(run(aa.F_MM, opt_state, er, ei, tg, 40)[2][-1])
     assert l40 < l0
