@@ -35,8 +35,17 @@ def _hann(win_length: int, dtype=jnp.float32):
 
 
 def stft_magnitude(x, n_fft: int, hop_length: int, win_length: int = None,
-                   center: bool = True):
-    """|STFT| of (num_audio, T) -> (num_audio, n_fft//2+1, n_frames)."""
+                   center: bool = True, fmin: float = None,
+                   fmax: float = None, sr: int = None):
+    """|STFT| of (num_audio, T) -> (num_audio, n_fft//2+1, n_frames).
+
+    Default: standard rfft grid.  With ``fmin``/``fmax``/``sr`` given,
+    the ``n_fft//2+1`` analysis frequencies are instead LINEARLY
+    RESPACED between fmin and fmax at non-integer DFT bins
+    ``fmin*n_fft/sr + k*(fmax-fmin)*(n_fft/sr)/(n_fft//2+1)`` — exactly
+    nnAudio's ``STFT(freq_scale='linear')`` convention, which the
+    reference's mss_loss uses (reference loss.py:394-404); evaluated as
+    a windowed-frame x DFT-kernel matmul (MXU work on TPU, exact f32)."""
     if win_length is None:
         win_length = n_fft
     win = _hann(win_length, x.dtype)
@@ -50,33 +59,76 @@ def stft_magnitude(x, n_fft: int, hop_length: int, win_length: int = None,
     idx = (jnp.arange(n_fft)[None, :]
            + hop_length * jnp.arange(n_frames)[:, None])
     frames = x[:, idx]                      # (B, n_frames, n_fft)
-    spec = jnp.fft.rfft(frames * win[None, None, :], axis=-1)
-    return jnp.abs(jnp.transpose(spec, (0, 2, 1)))
+    if fmin is None:
+        spec = jnp.fft.rfft(frames * win[None, None, :], axis=-1)
+        return jnp.abs(jnp.transpose(spec, (0, 2, 1)))
+    freq_bins = n_fft // 2 + 1
+    start_bin = fmin * n_fft / sr
+    scaling = (fmax - fmin) * (n_fft / sr) / freq_bins
+    bins = start_bin + scaling * np.arange(freq_bins)
+    ang = 2.0 * np.pi * bins[:, None] * np.arange(n_fft)[None, :] / n_fft
+    winn = np.asarray(win, dtype=np.float64)
+    wcos = jnp.asarray(np.cos(ang) * winn[None, :], dtype=x.dtype)
+    wsin = jnp.asarray(np.sin(ang) * winn[None, :], dtype=x.dtype)
+    hp = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("btn,fn->bft", frames, wcos, precision=hp)
+    im = jnp.einsum("btn,fn->bft", frames, wsin, precision=hp)
+    return jnp.sqrt(re * re + im * im)
 
 
-def _hz_to_mel(f):
-    return 2595.0 * np.log10(1.0 + np.asarray(f) / 700.0)
+def _hz_to_mel(f, htk: bool = False):
+    f = np.asarray(f, dtype=np.float64)
+    if htk:
+        return 2595.0 * np.log10(1.0 + f / 700.0)
+    # Slaney (librosa default): linear below 1 kHz, log above
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    logstep = np.log(6.4) / 27.0
+    return np.where(f >= min_log_hz,
+                    min_log_hz / f_sp
+                    + np.log(np.maximum(f, 1e-10) / min_log_hz) / logstep,
+                    f / f_sp)
 
 
-def _mel_to_hz(m):
-    return 700.0 * (10.0 ** (np.asarray(m) / 2595.0) - 1.0)
+def _mel_to_hz(m, htk: bool = False):
+    m = np.asarray(m, dtype=np.float64)
+    if htk:
+        return 700.0 * (10.0 ** (m / 2595.0) - 1.0)
+    f_sp = 200.0 / 3
+    min_log_hz = 1000.0
+    min_log_mel = min_log_hz / f_sp
+    logstep = np.log(6.4) / 27.0
+    return np.where(m >= min_log_mel,
+                    min_log_hz * np.exp(logstep * (m - min_log_mel)),
+                    f_sp * m)
 
 
 def mel_filterbank(sr: int, n_fft: int, n_mels: int, fmin: float = 0.0,
-                   fmax: float = None, dtype=jnp.float32):
-    """Triangular HTK-mel filterbank (n_mels, n_fft//2+1)."""
+                   fmax: float = None, htk: bool = False,
+                   norm: str = "slaney", dtype=jnp.float32):
+    """Triangular mel filterbank (n_mels, n_fft//2+1).
+
+    Defaults match ``librosa.filters.mel`` (Slaney mel scale + 'slaney'
+    area normalization) — the bank nnAudio's MelSpectrogram uses, hence
+    the REFERENCE's mel_mss/edr conventions (reference loss.py:254-263,
+    624-637; parity pinned by tests/test_loss_parity.py against the
+    reference's own loss code run on a faithful nnAudio shim).
+    ``htk=True, norm=None`` selects the HTK variant instead."""
     if fmax is None:
         fmax = sr / 2
     n_bins = n_fft // 2 + 1
     fft_freqs = np.linspace(0, sr / 2, n_bins)
-    mel_pts = np.linspace(_hz_to_mel(fmin), _hz_to_mel(fmax), n_mels + 2)
-    hz_pts = _mel_to_hz(mel_pts)
+    mel_pts = np.linspace(_hz_to_mel(fmin, htk), _hz_to_mel(fmax, htk),
+                          n_mels + 2)
+    hz_pts = _mel_to_hz(mel_pts, htk)
     fb = np.zeros((n_mels, n_bins))
     for i in range(n_mels):
         left, center, right = hz_pts[i], hz_pts[i + 1], hz_pts[i + 2]
         up = (fft_freqs - left) / max(center - left, 1e-10)
         down = (right - fft_freqs) / max(right - center, 1e-10)
         fb[i] = np.maximum(0.0, np.minimum(up, down))
+    if norm == "slaney":
+        fb *= (2.0 / (hz_pts[2:n_mels + 2] - hz_pts[:n_mels]))[:, None]
     return jnp.asarray(fb, dtype=dtype)
 
 
@@ -300,11 +352,18 @@ class _mss_base:
         y_true = jnp.transpose(y_true, (0, 2, 1)).reshape(-1, y_true.shape[1])
         return y_pred, y_true, batch, n_channels
 
-    def _mask(self, Y_true_lin, hop_length):
+    def _mask(self, Y_true_lin, hop_length, noise_energy=None):
+        """SNR mask.  Returns (mask, count, noise_energy): the noise
+        energy is estimated from the FIRST scale's spectrogram and
+        REUSED for the remaining FFT sizes — matching the reference,
+        which caches ``self.noise_energy`` on first use
+        (reference loss.py:272-283, 425-436)."""
         if not self.apply_mask:
-            return jnp.ones_like(Y_true_lin), float(np.prod(Y_true_lin.shape))
-        noise_energy = self.noise_energy
-        if not noise_energy:
+            return (jnp.ones_like(Y_true_lin),
+                    float(np.prod(Y_true_lin.shape)), noise_energy)
+        if noise_energy is None:
+            noise_energy = self.noise_energy
+        if noise_energy is None:
             noise_energy = jnp.mean(
                 Y_true_lin[:, :, -int(0.01 * self.sample_rate / hop_length)]
                 ** 2
@@ -314,7 +373,7 @@ class _mss_base:
                               - noise_energy)
                - 10 * jnp.log10(noise_energy))
         mask = jnp.where(SNR < self.threshold, 0.0, 1.0)
-        return mask, jnp.sum(mask)
+        return mask, jnp.sum(mask), noise_energy
 
 
 class mel_mss_loss(_mss_base):
@@ -333,6 +392,7 @@ class mel_mss_loss(_mss_base):
     def __call__(self, y_pred, y_true):
         y_pred, y_true, batch, C = self._prep(y_pred, y_true)
         loss = 0.0
+        noise_energy = None
         for n_fft in self.nfft:
             hop = int(n_fft * (1 - self.overlap))
             mel = partial(mel_spectrogram, sr=self.sample_rate, n_fft=n_fft,
@@ -340,7 +400,7 @@ class mel_mss_loss(_mss_base):
                           fmax=self.sample_rate // 2)
             Yp = mel(y_pred)
             Yt = mel(y_true)
-            mask, N = self._mask(Yt, hop)
+            mask, N, noise_energy = self._mask(Yt, hop, noise_energy)
             loss = loss + _norm((Yt - Yp) * mask, self.p) / N
             if self.log_term:
                 loss = loss + self.alpha * _norm(
@@ -357,20 +417,32 @@ class mss_loss(_mss_base):
                  energy_norm: bool = False, name: str = "MSS",
                  apply_mask: bool = False, threshold: float = 5,
                  p="fro", log_term: bool = False, alpha: float = 1.0,
-                 form: Optional[str] = None, noise_energy=None, **kwargs):
+                 form: Optional[str] = None, noise_energy=None,
+                 freq_grid: str = "nnaudio", **kwargs):
         super().__init__(nfft, overlap, sample_rate, energy_norm, name,
                          apply_mask, threshold, p, log_term, alpha,
                          noise_energy)
         self.form = form
+        # 'nnaudio' (default): the reference's analysis grid — n_fft//2+1
+        # frequencies linearly respaced over [20 Hz, sr/2] at non-integer
+        # DFT bins (nnAudio STFT freq_scale='linear'; value parity with
+        # the reference pinned by tests/test_loss_parity.py).  'rfft':
+        # the standard DFT grid (FFT fast path, ~4e-3 rel off the
+        # reference's values on broadband material).
+        self.freq_grid = freq_grid
 
     def __call__(self, y_pred, y_true):
         y_pred, y_true, batch, C = self._prep(y_pred, y_true)
         loss = 0.0
+        grid = ({"fmin": 20.0, "fmax": self.sample_rate // 2,
+                 "sr": self.sample_rate}
+                if self.freq_grid == "nnaudio" else {})
+        noise_energy = None
         for n_fft in self.nfft:
             hop = int(n_fft * (1 - self.overlap))
-            Yp = stft_magnitude(y_pred, n_fft, hop)
-            Yt = stft_magnitude(y_true, n_fft, hop)
-            mask, N = self._mask(Yt, hop)
+            Yp = stft_magnitude(y_pred, n_fft, hop, **grid)
+            Yt = stft_magnitude(y_true, n_fft, hop, **grid)
+            mask, N, noise_energy = self._mask(Yt, hop, noise_energy)
             eps = jnp.finfo(Yp.dtype).tiny
             Yp_log = jnp.log(Yp + eps)
             Yt_log = jnp.log(Yt + eps)
