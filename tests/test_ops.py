@@ -215,6 +215,7 @@ def test_gauss_solve_nopivot_matches_on_dominant():
     assert float(jnp.abs(y - y_ref).max() / jnp.abs(y_ref).max()) < 1e-4
 
 
+@pytest.mark.slow
 def test_gauss_solve_mat_matches_lu():
     from flamo_tpu.ops.solve import gauss_solve_mat
 
@@ -272,6 +273,7 @@ def test_gauss_solve_cached_matches_lu():
             assert float(jnp.abs(a - b).max() / jnp.abs(b).max()) < 1e-4
 
 
+@pytest.mark.slow
 def test_recursion_dispatches_fused_fdn_kernel(pallas_interpret):
     """Recursion(solve_method='pallas') with diag feedforward x flat
     feedback must use the FUSED pallas_fdn_solve (no (M,N,N) loop-matrix
@@ -363,6 +365,7 @@ def test_pallas_fdn_solve_vmap():
     assert float(jnp.abs(y - y_ref).max()) < 1e-4
 
 
+@pytest.mark.slow
 def test_recursion_fused_kernel_with_attenuated_feedback(pallas_interpret):
     """The fused dispatch must also cover the reference FDN topology
     Series(mixing_matrix, attenuation): B = diag(g(f)) U folds the
@@ -453,6 +456,7 @@ def test_pallas_fdn_tf(pallas_interpret):
         assert float(jnp.abs(a - bb).max() / jnp.abs(bb).max()) < 2e-3
 
 
+@pytest.mark.slow
 def test_colorless_fused_tf_loss_matches(pallas_interpret):
     """The model-level fused-tf loss is the standard colorless loss."""
     import flamo_tpu
@@ -530,6 +534,7 @@ def test_pallas_fdn_tf_mse(pallas_interpret):
         assert float(jnp.abs(a - bb).max() / jnp.abs(bb).max()) < 2e-3
 
 
+@pytest.mark.slow
 def test_colorless_fused_step_loss_matches(pallas_interpret):
     """The model-level fused-step loss (loss+grads in one kernel pass)
     matches the standard colorless loss and its gradients."""
@@ -555,6 +560,7 @@ def test_colorless_fused_step_loss_matches(pallas_interpret):
         assert d / s < 5e-3
 
 
+@pytest.mark.slow
 def test_pallas_fdn_sos_tf_mse(pallas_interpret):
     """Fused attenuated-FDN step kernel: loss value and ALL cotangents
     (taps, U, b, c, D) vs the dense XLA formula, both pivot modes."""
@@ -619,6 +625,7 @@ def test_pallas_fdn_sos_tf_mse(pallas_interpret):
                  / jnp.abs(gp[1]).max()) < 1e-5
 
 
+@pytest.mark.slow
 def test_attenuated_fused_step_loss_matches(pallas_interpret):
     """The model-level fused attenuated-FDN step loss matches the
     module-graph loss and its gradients (incl. through the GEQ band
@@ -715,6 +722,7 @@ def test_pallas_sos_cascade_high_order(pallas_interpret):
         assert float(jnp.max(jnp.abs(x - y)) / jnp.max(jnp.abs(x))) < 1e-4
 
 
+@pytest.mark.slow
 def test_geq_pallas_cascade_backend(pallas_interpret):
     """parallelGEQ(cascade_backend='pallas') matches the XLA backend to the
     f32 condition floor of the 12-section cascade, values and grads."""
@@ -771,6 +779,7 @@ def test_biquad_peq_pallas_cascade_backend(pallas_interpret):
         dsp.Biquad(cascade_backend="bogus")
 
 
+@pytest.mark.slow
 def test_pallas_aa_tf_mse(pallas_interpret):
     """Fused active-acoustics step kernel: loss value and the mixer-
     response cotangent vs the dense XLA formula, both pivot modes."""

@@ -113,6 +113,7 @@ def test_fit_scan_fast_path(tmp_path):
     assert history2[-1] <= history[-1] * 1.2
 
 
+@pytest.mark.slow
 def test_fit_scan_epochs_matches_sequential(tmp_path):
     """Fused multi-batch epoch must be numerically lockstep with the
     sequential train_step path (same Adam state, step counter, losses)."""
