@@ -25,6 +25,8 @@ MODULES = [
     "flamo_tpu.ops.solve",
     "flamo_tpu.ops.linop",
     "flamo_tpu.ops.pallas_solve",
+    "flamo_tpu.ops.pallas_eig",
+    "flamo_tpu.ops.qr_eig",
     "flamo_tpu.optimize.dataset",
     "flamo_tpu.optimize.trainer",
     "flamo_tpu.optimize.loss",
@@ -40,6 +42,7 @@ MODULES = [
     "flamo_tpu.parallel.mesh",
     "flamo_tpu.parallel.dp",
     "flamo_tpu.parallel.ensemble",
+    "flamo_tpu.parallel.fused",
     "flamo_tpu.models.colorless_fdn",
     "flamo_tpu.models.active_acoustics",
 ]
