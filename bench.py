@@ -352,8 +352,16 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3,
     13 loudspeakers, RIR length 15000, FIR order 100, nfft=96000.
 
     Modes (a gated ladder like the attenuated metric; _aa_best_backend
-    runs 'fused_np' in a subprocess first):
+    runs 'fused_np' then 'fused_tin' in subprocesses first):
 
+    * 'fused_tin': models.aa_fused_taps_step — the taps-in kernel
+      (DFT basis built in-register from the iota phasor; tap->response
+      and cotangent->tap contractions are MXU matmuls INSIDE the
+      kernel at Precision.HIGH), no-pivot.  Deletes the 115 us/step of
+      XLA basis matmuls + 30 us of pads the 'fused_np' path paid, but
+      those matmuls are pass-bound: at HIGHEST the in-kernel variant
+      measured SLOWER (3616 vs 4387 steps/s, 2026-08-19); HIGH halves
+      the passes.
     * 'fused_np' / 'fused': models.aa_fused_step — the single-pass
       Pallas step kernel (assembly + solve + loss + adjoint in one grid
       pass over channels-major rows; tap<->response via MXU matmuls
@@ -380,11 +388,16 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3,
 
     if mode == "ge":
         solve_method = "ge"
-    fused = mode in ("fused_np", "fused")
+    fused = mode in ("fused_tin", "fused_np", "fused")
     basis = ()
     with host_eager():
         m, x, target = _build_aa(solve_method)
-        if fused:
+        if mode == "fused_tin":
+            from flamo_tpu.models.active_acoustics import aa_fused_taps_step
+
+            multi, opt_state = aa_fused_taps_step(m, x, target, lr=1e-3,
+                                                  pivot=False)
+        elif fused:
             multi4, opt_state, er, ei = aa_fused_step(
                 m, x, target, lr=1e-3, pivot=(mode == "fused"))
             basis = (jnp.asarray(er), jnp.asarray(ei))
@@ -832,7 +845,8 @@ def main():
                     choices=["fused_np", "fused", "pallas", "xla"],
                     help=argparse.SUPPRESS)
     ap.add_argument("--aa-only", type=str, default=None,
-                    choices=["fused_np", "fused", "hoisted", "graph", "ge"],
+                    choices=["fused_tin", "fused_np", "fused", "hoisted",
+                             "graph", "ge"],
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
 
@@ -845,7 +859,7 @@ def main():
         mode = args.aa_only
         # the fused step is ~100x faster per step: longer scan amortizes
         # the tunnel's per-dispatch latency (parity gate is in-function)
-        k = 400 if mode in ("fused_np", "fused") else 20
+        k = 400 if mode in ("fused_tin", "fused_np", "fused") else 20
         sps, fl = measure_active_acoustics_steps_per_sec(k=k, mode=mode)
         print(json.dumps({"steps_per_sec": sps, "final_loss": fl}))
         return
@@ -1017,12 +1031,19 @@ def main():
             return _last_json_line(out.stdout)
 
         def _aa_best_backend():
-            # ladder: single-pass Pallas step (no-pivot) in a gated
-            # subprocess, then the in-process hoisted/graph/ge chain
+            # ladder: response-rows fused step, then the taps-in kernel,
+            # each in a gated subprocess; then the in-process
+            # hoisted/graph/ge chain
             # (measure_active_acoustics_steps_per_sec falls back on
-            # parity or loss-gate failure by itself)
-            res = _aa_subprocess("fused_np", args.timeout)
-            if res is not None:
+            # parity or loss-gate failure by itself).  fused_np leads
+            # until fused_tin@HIGH has an on-chip measurement beating
+            # it (fused_tin@HIGHEST measured SLOWER, 3616 vs 4387,
+            # 2026-08-19 — the basis matmuls are pass-bound, not
+            # bandwidth-bound).
+            for mode in ("fused_np", "fused_tin"):
+                res = _aa_subprocess(mode, args.timeout)
+                if res is None:
+                    continue
                 fl = res.get("final_loss")
                 if fl is not None and fl == fl and 0.0 < fl < 1e3:
                     return res["steps_per_sec"]

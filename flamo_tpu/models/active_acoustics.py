@@ -443,6 +443,81 @@ def aa_fused_step(model: system.Shell, inputs, targets, lr: float = 1e-3,
     return multi, opt_state, er, ei
 
 
+def aa_fused_taps_step(model: system.Shell, inputs, targets,
+                       lr: float = 1e-3, pivot: bool = False,
+                       precision: str = "high"):
+    """Build (jittable_multi, opt_state) for the AA magnitude-MSE
+    workload on the TAPS-IN fused kernel
+    (:func:`flamo_tpu.ops.pallas_aa_taps_tf_mse`): the DFT basis is
+    built in-register from the iota phasor and the tap->response /
+    response-cotangent->tap contractions run as MXU matmuls INSIDE the
+    kernel, so no basis or mixer-response arrays exist in HBM at all —
+    the only per-step XLA work left is the parameter map + Adam update.
+
+    Profiled rationale (2026-08-19, vs :func:`aa_fused_step`): the
+    response-rows path spent 115 us/step in four XLA basis matmuls +
+    ~30 us pads, 3x its own Pallas kernel (49 us).  Those matmuls
+    turned out PRECISION-PASS-BOUND, not bandwidth-bound (the 38 MB
+    basis read hides under the 6 bf16 passes of HIGHEST) — an
+    in-kernel HIGHEST variant measured SLOWER (236 us kernel, 3616
+    steps/s vs 4387), so this builder defaults to ``precision='high'``
+    (3 passes) where deleting the basis actually pays.
+
+    ``multi(m, o, x, t, k)`` — no basis operands.  Loss semantics are
+    identical to the module-graph path; bench gates the two against
+    each other (same contract as aa_fused_step)."""
+    import optax
+
+    from flamo_tpu.core import masked_optimizer
+    from flamo_tpu.ops.pallas_solve import pallas_aa_taps_tf_mse
+
+    tx = masked_optimizer(optax.adam(lr), model)
+    opt_state = tx.init(model)
+    nfft = model.nfft
+    loop = model.get_core()
+    fb = loop.feedback
+    order, L, N = fb.param.shape  # (taps, n_loudspeakers, n_mics)
+    assert inputs.shape[0] == 1 and targets.shape[0] == 1, (
+        "aa_fused_taps_step requires batch size 1")
+
+    def multi(m, o, x, t, k):
+        from flamo_tpu.ops import linop
+
+        loop = m.get_core()
+        room = loop.feedforward
+        kind, Hraw = room.matrix_response()  # hoisted: once per call
+        H = jax.lax.stop_gradient(
+            linop.materialize(kind, Hraw, nfft // 2 + 1, N, L))
+        X = jnp.fft.rfft(x, n=nfft, axis=1)[0]  # (M, L), hoisted
+        hrows = jnp.transpose(H, (1, 2, 0)).reshape(N * L, -1)
+        hr, hi = jnp.real(hrows), jnp.imag(hrows)
+        rhs = jnp.einsum("mil,ml->im", H, X,
+                         precision=jax.lax.Precision.HIGHEST)  # hoisted
+        rr, ri = jnp.real(rhs), jnp.imag(rhs)
+        tt = jnp.transpose(t[0], (1, 0))  # (N, M)
+
+        def loss_fn(mm):
+            fb = mm.get_core().feedback
+            taps = fb.ir(fb.param)  # map applied, (order, L, N)
+            env = jnp.asarray(fb.gamma, taps.dtype) ** jnp.arange(
+                order, dtype=taps.dtype)
+            tw = (taps * env[:, None, None]).reshape(order, L * N)
+            return pallas_aa_taps_tf_mse(hr, hi, tw, rr, ri, tt,
+                                         N=N, L=L, nfft=nfft, pivot=pivot,
+                                         precision=precision)
+
+        def body(carry, _):
+            mm, oo = carry
+            loss, g = jax.value_and_grad(loss_fn)(mm)
+            up, oo = tx.update(g, oo, mm)
+            return (optax.apply_updates(mm, up), oo), loss
+
+        (m, o), losses = jax.lax.scan(body, (m, o), None, length=k)
+        return m, o, losses[-1]
+
+    return multi, opt_state
+
+
 def _charpoly_rows(ar, ai, N: int):
     """Faddeev-LeVerrier characteristic-polynomial coefficients in ROWS
     layout: ``ar``/``ai`` real ``(N, N, B)`` matrix entries with the

@@ -2,6 +2,7 @@ from flamo_tpu.ops.solve import gauss_solve, closed_loop_solve
 
 _PALLAS_EXPORTS = ("pallas_fdn_solve", "pallas_fdn_tf", "pallas_fdn_tf_mse",
                    "pallas_fdn_sos_tf_mse", "pallas_aa_tf_mse",
+                   "pallas_aa_taps_tf_mse",
                    "pallas_gauss_solve", "pallas_sos_cascade")
 _PALLAS_EIG_EXPORTS = ("pallas_dk_roots",)
 

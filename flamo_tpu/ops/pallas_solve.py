@@ -1583,6 +1583,220 @@ def _aa_tf_mse_bwd(N, L, pivot, res, g):
 _aa_tf_mse.defvjp(_aa_tf_mse_fwd, _aa_tf_mse_bwd)
 
 
+def _aa_taps_tf_mse_kernel(N: int, L: int, order: int, nfft: int,
+                           scale: float, pivot: bool, precision: str,
+                           hr_ref, hi_ref, tw_ref, rr_ref, ri_ref,
+                           t_ref, loss_ref, tb_ref):
+    """Taps-in variant of :func:`_aa_tf_mse_kernel`: the mixer RESPONSE
+    never exists in HBM.  Per bin tile the kernel
+
+    1. builds the DFT power stack ``P[t] = e^{-j 2 pi t m / nfft}``
+       (t = 0..order-1) from the iota phasor by LOG-DOUBLING (rows
+       [r, 2r) = rows [0, r) * z^r, z^r by repeated squaring —
+       ~log2(order) vectorized rounds, drift ~log(order)*eps),
+    2. forms the mixer response rows with ONE MXU matmul
+       ``[G_re | G_im] = tw^T [P_re | P_im]`` (tw = envelope-folded
+       taps, (order, L*N)),
+    3. runs the same assembly/solve/loss/adjoint as the response-rows
+       kernel, and
+    4. contracts the S-number cotangent rows straight back onto the tap
+       axis (``tb = [P_re | P_im] [S_re | -S_im]^T``, one MXU matmul),
+       ACCUMULATED across the grid in a revisited output block.
+
+    Rationale (profiled 2026-08-19): the response-rows path spent
+    115 us/step in four XLA basis matmuls plus ~30 us of pads.  Those
+    matmuls are PRECISION-PASS-BOUND, not bandwidth-bound (2 GFLOP at
+    HIGHEST = 6 bf16 passes ≈ 115 us ≈ the 38 MB basis read — they
+    overlap), so moving them in-kernel only wins if the pass count
+    drops: `precision` selects HIGH (3 passes, ~1e-5 off exact f32 on
+    this workload — the 5e-3 parity gate still guards it) or HIGHEST
+    (6 passes, bit-comparable to the XLA path).  At HIGHEST the
+    in-kernel version measured SLOWER than XLA (236 us vs 164 us,
+    2026-08-19: Mosaic's per-program skinny matmuls pipeline worse
+    than one big streamed XLA matmul)."""
+    shape = (TILE // 128, 128)
+    z, _ = _bin_phasor(nfft, shape)
+
+    # power stack P (order, TILE): log-doubling from the tile phasor
+    Pr = jnp.ones(shape, jnp.float32).reshape(1, TILE)
+    Pi = jnp.zeros(shape, jnp.float32).reshape(1, TILE)
+    zr = z[0].reshape(1, TILE)
+    zi = z[1].reshape(1, TILE)
+    rows = 1
+    while rows < order:
+        take = min(rows, order - rows)
+        nr = Pr[:take] * zr - Pi[:take] * zi
+        ni = Pr[:take] * zi + Pi[:take] * zr
+        Pr = jnp.concatenate([Pr, nr], axis=0)
+        Pi = jnp.concatenate([Pi, ni], axis=0)
+        if 2 * rows < order:
+            zr, zi = zr * zr - zi * zi, 2.0 * zr * zi
+        rows += take
+    P2 = jnp.concatenate([Pr, Pi], axis=1)  # (order, 2*TILE)
+
+    tw = tw_ref[...]  # (order, L*N)
+    hp = (jax.lax.Precision.HIGHEST if precision == "highest"
+          else jax.lax.Precision.HIGH)
+    G2 = jax.lax.dot_general(tw, P2, (((0,), (0,)), ((), ())),
+                             precision=hp)  # (L*N, 2*TILE)
+    grm, gim = G2[:, :TILE], G2[:, TILE:]
+
+    H = [[(hr_ref[i * L + j].reshape(shape),
+           hi_ref[i * L + j].reshape(shape)) for j in range(L)]
+         for i in range(N)]
+    G = [[(grm[j * N + k].reshape(shape),
+           gim[j * N + k].reshape(shape)) for k in range(N)]
+         for j in range(L)]
+
+    A = []
+    for i in range(N):
+        row = []
+        for k in range(N):
+            sr = jnp.zeros(shape, hr_ref.dtype)
+            si = jnp.zeros(shape, hr_ref.dtype)
+            for j in range(L):
+                pp = _cmul(H[i][j], G[j][k])
+                sr = sr + pp[0]
+                si = si + pp[1]
+            eye = 1.0 if i == k else 0.0
+            row.append((eye - sr, -si))
+        A.append(row)
+    if pivot:
+        A0 = [[A[i][k] for k in range(N)] for i in range(N)]
+
+    rhs = [(rr_ref[i].reshape(shape), ri_ref[i].reshape(shape))
+           for i in range(N)]
+    if pivot:
+        y = _ge_core(A, rhs, N, shape)
+    else:
+        y = _ge_core_nopivot_factors(A, rhs, N)
+
+    losses = jnp.zeros(shape, hr_ref.dtype)
+    w = []
+    for i in range(N):
+        est = jnp.sqrt(_cabs2(y[i]))
+        diff = est - t_ref[i].reshape(shape)
+        losses = losses + diff * diff
+        g = scale * diff / jnp.where(est > 0.0, est, 1.0)
+        w.append((g * y[i][0], -g * y[i][1]))
+    loss_ref[0] = losses.reshape(-1)
+
+    if pivot:
+        At = [[A0[i][k] for i in range(N)] for k in range(N)]
+        xi = _ge_core(At, w, N, shape)
+    else:
+        xi = _transpose_solve_from_factors(A, w, N)
+
+    sr_rows = []
+    si_rows = []
+    for j in range(L):
+        ar = jnp.zeros(shape, hr_ref.dtype)
+        ai = jnp.zeros(shape, hr_ref.dtype)
+        for i in range(N):
+            pp = _cmul(H[i][j], xi[i])
+            ar = ar + pp[0]
+            ai = ai + pp[1]
+        for k in range(N):
+            s = _cmul((ar, ai), y[k])
+            sr_rows.append(s[0].reshape(1, TILE))
+            si_rows.append(s[1].reshape(1, TILE))
+    Sr = jnp.concatenate(sr_rows, axis=0)  # (L*N, TILE)
+    Si = jnp.concatenate(si_rows, axis=0)
+    # dL/dtw[t, jk] = sum_m Re(s_jk) Pr[t] - Im(s_jk) Pi[t]
+    # (dL/dReG = Re S, dL/dImG = -Im S; dG/dtw = P), one merged matmul
+    S2 = jnp.concatenate([Sr, -Si], axis=1)  # (L*N, 2*TILE)
+    tb = jax.lax.dot_general(P2, S2, (((1,), (1,)), ((), ())),
+                             precision=hp)  # (order, L*N)
+
+    pid = pl.program_id(0)
+
+    @pl.when(pid == 0)
+    def _init():
+        tb_ref[0] = tb
+
+    @pl.when(pid > 0)
+    def _acc():
+        tb_ref[0] = tb_ref[0] + tb
+
+
+def _aa_taps_tf_mse_ml(N, L, order, nfft, pivot, precision, hr, hi, tw,
+                       rr, ri, t, M_true: int):
+    Mp = hr.shape[-1]
+    grid = (Mp // TILE,)
+
+    def rows(R):
+        return pl.BlockSpec((R, TILE), lambda m: (0, m),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        partial(_aa_taps_tf_mse_kernel, N, L, order, nfft,
+                2.0 / (M_true * N), pivot, precision),
+        grid=grid,
+        in_specs=[rows(N * L), rows(N * L),
+                  pl.BlockSpec((order, L * N), lambda m: (0, 0),
+                               memory_space=pltpu.VMEM),
+                  rows(N), rows(N), rows(N)],
+        out_specs=[rows(1),
+                   pl.BlockSpec((1, order, L * N), lambda m: (0, 0, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((1, Mp), hr.dtype),
+                   jax.ShapeDtypeStruct((1, order, L * N), hr.dtype)],
+        interpret=_interpret(),
+    )(hr, hi, tw, rr, ri, t)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _aa_taps_tf_mse(N, L, order, nfft, pivot, precision, hr, hi, tw, rr,
+                    ri, t):
+    return _aa_taps_tf_mse_fwd(N, L, order, nfft, pivot, precision, hr,
+                               hi, tw, rr, ri, t)[0]
+
+
+def _aa_taps_tf_mse_fwd(N, L, order, nfft, pivot, precision, hr, hi, tw,
+                        rr, ri, t):
+    M_true = rr.shape[-1]
+    Mp = ((M_true + TILE - 1) // TILE) * TILE
+    lp, tb = _aa_taps_tf_mse_ml(
+        N, L, order, nfft, pivot, precision, _pad_rows(hr, Mp),
+        _pad_rows(hi, Mp), tw, _pad_rows(rr, Mp), _pad_rows(ri, Mp),
+        _pad_rows(t, Mp), M_true)
+    loss = jnp.sum(lp) / (M_true * N)
+    return loss, (tb[0].astype(tw.dtype), hr, rr, t)
+
+
+def _aa_taps_tf_mse_bwd(N, L, order, nfft, pivot, precision, res, g):
+    tb, hr, rr, t = res
+    zh = jnp.zeros_like(hr)
+    zr = jnp.zeros_like(rr)
+    return (zh, zh, g * tb, zr, zr, jnp.zeros_like(t))
+
+
+_aa_taps_tf_mse.defvjp(_aa_taps_tf_mse_fwd, _aa_taps_tf_mse_bwd)
+
+
+def pallas_aa_taps_tf_mse(hr, hi, tw, rr, ri, t, N: int, L: int,
+                          nfft: int, pivot: bool = False,
+                          precision: str = "high"):
+    """Taps-in fused active-acoustics step kernel: same loss as
+    :func:`pallas_aa_tf_mse` but differentiable directly in the
+    envelope-folded mixer TAPS ``tw`` ((order, L*N) rows ``tw[t, j*N+k]
+    = gamma^t taps[t, j, k]``) — the tap->response DFT basis is built
+    in-register from the iota phasor by log-doubling and both response
+    synthesis and the tap cotangent run as in-kernel MXU matmuls, so
+    neither the 38 MB basis nor the 40 MB of response/cotangent rows
+    ever touch HBM.  Those contractions are precision-pass-bound:
+    ``precision='high'`` (default, 3 bf16 passes, ~1e-5 off exact f32
+    here) halves their cost vs 'highest' (6 passes, bit-comparable to
+    the XLA basis-matmul path, which measured FASTER than the in-kernel
+    HIGHEST variant — use :func:`pallas_aa_tf_mse` if you need it).
+    hr/hi/rr/ri/t as in pallas_aa_tf_mse (unpadded (rows, M); padding
+    happens here)."""
+    if precision not in ("high", "highest"):
+        raise ValueError("precision must be 'high' or 'highest'")
+    return _aa_taps_tf_mse(N, L, tw.shape[0], nfft, pivot, precision,
+                           hr, hi, tw, rr, ri, t)
+
+
 def pallas_aa_tf_mse(hr, hi, gr, gi, rr, ri, t, N: int, L: int,
                      pivot: bool = False):
     """Fused active-acoustics training-step kernel: the scalar

@@ -124,7 +124,16 @@ def _build_aa_hoisted(k: int, fused: str | None = None):
     M = NFFT // 2 + 1
     inputs = jnp.zeros((1, NFFT, 13)).at[:, 0, :].set(1.0)
     targets = jnp.ones((1, M, 4))
-    if fused:
+    if fused == "fused_tin":
+        from flamo_tpu.models.active_acoustics import aa_fused_taps_step
+
+        hmulti5, opt_state = aa_fused_taps_step(model, inputs, targets,
+                                                pivot=False)
+
+        def multi(m, o, x, t):
+            return hmulti5(m, o, x, t, k)
+
+    elif fused:
         hmulti4, opt_state, er, ei = aa_fused_step(
             model, inputs, targets, pivot=(fused == "fused"))
         er, ei = jnp.asarray(er), jnp.asarray(ei)
@@ -177,7 +186,8 @@ def capture(workload: str, solve_method: str, k: int, cache_delays: bool):
         elif workload == "attenuated":
             built = _build_attenuated(solve_method)
         elif workload == "aa":
-            if solve_method in ("hoisted", "fused_np", "fused"):
+            if solve_method in ("hoisted", "fused_np", "fused",
+                                "fused_tin"):
                 model, prebuilt_multi, opt_state, inputs, targets = \
                     _build_aa_hoisted(
                         k, fused=(solve_method if solve_method != "hoisted"

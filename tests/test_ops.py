@@ -926,3 +926,64 @@ def test_pallas_dk_roots_batch_shape(pallas_eig_interpret):
     z_ref = np.asarray(F._dk_iterate(c, 64))
     assert z.shape == (5, 7, 4)
     assert float(np.abs(z - z_ref).max()) < 1e-4
+
+
+@pytest.mark.slow
+def test_pallas_aa_taps_tf_mse():
+    """Taps-in AA step kernel (in-register iota-phasor DFT basis + MXU
+    taps->response and cotangent->tap contractions) matches the
+    module-graph loss and the graph's mixer-tap gradients (interpret
+    mode; Mosaic parity is gated on-chip by bench's fused_tin rung)."""
+    import flamo_tpu
+    from flamo_tpu.models import build_active_acoustics
+    from flamo_tpu.models.active_acoustics import aa_fused_taps_step
+    from flamo_tpu.ops import linop
+    from flamo_tpu.ops.pallas_solve import pallas_aa_taps_tf_mse
+
+    flamo_tpu.set_seed(7)
+    nfft, N, L, order = 512, 2, 3, 8
+    m = build_active_acoustics(n_mics=N, n_loudspeakers=L, rir_length=128,
+                               fir_order=order, nfft=nfft, fs=8000,
+                               t60=0.05, cache_room=False)
+    M = nfft // 2 + 1
+    x = jnp.zeros((1, nfft, L)).at[:, 0, :].set(1.0)
+    t = jnp.full((1, M, N), 0.5)
+
+    def graph_loss(m):
+        return jnp.mean((jnp.abs(m(x)) - t) ** 2)
+
+    lg, gg = jax.jit(jax.value_and_grad(graph_loss))(m)
+
+    loop = m.get_core()
+    kind, Hraw = loop.feedforward.matrix_response()
+    H = linop.materialize(kind, Hraw, M, N, L)
+    X = jnp.fft.rfft(x, n=nfft, axis=1)[0]
+    hrows = jnp.transpose(H, (1, 2, 0)).reshape(N * L, -1)
+    rhs = jnp.einsum("mil,ml->im", H, X)
+    tt = jnp.transpose(t[0], (1, 0))
+
+    def kern_loss(mm):
+        fb = mm.get_core().feedback
+        taps = fb.ir(fb.param)
+        env = jnp.asarray(fb.gamma, taps.dtype) ** jnp.arange(
+            order, dtype=taps.dtype)
+        tw = (taps * env[:, None, None]).reshape(order, L * N)
+        return pallas_aa_taps_tf_mse(
+            jnp.real(hrows), jnp.imag(hrows), tw, jnp.real(rhs),
+            jnp.imag(rhs), tt, N=N, L=L, nfft=nfft, pivot=False)
+
+    lk, gk = jax.jit(jax.value_and_grad(kern_loss))(m)
+    assert abs(float(lk) - float(lg)) / abs(float(lg)) < 1e-5
+    # mixer (feedback) tap gradient parity; the frozen room's grad is
+    # zero by design (stop_gradient — masked Adam zeroes it anyway)
+    a = np.asarray(gg.get_core().feedback.param)
+    b = np.asarray(gk.get_core().feedback.param)
+    assert np.abs(a - b).max() / np.abs(a).max() < 1e-5
+
+    # the step builder trains: loss decreases over a short scan
+    multi, opt = aa_fused_taps_step(m, x, t, lr=1e-2, pivot=False)
+    run = jax.jit(lambda m, o, x, t, k: multi(m, o, x, t, k),
+                  static_argnums=(4,))
+    l1 = float(run(m, opt, x, t, 1)[2])
+    l30 = float(run(m, opt, x, t, 30)[2])
+    assert l30 < l1
