@@ -357,11 +357,13 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3,
     * 'fused_tin': models.aa_fused_taps_step — the taps-in kernel
       (DFT basis built in-register from the iota phasor; tap->response
       and cotangent->tap contractions are MXU matmuls INSIDE the
-      kernel at Precision.HIGH), no-pivot.  Deletes the 115 us/step of
-      XLA basis matmuls + 30 us of pads the 'fused_np' path paid, but
-      those matmuls are pass-bound: at HIGHEST the in-kernel variant
-      measured SLOWER (3616 vs 4387 steps/s, 2026-08-19); HIGH halves
-      the passes.
+      kernel at emulated-HIGH precision: 3 bf16-split DEFAULT dots,
+      since Mosaic lowers only DEFAULT/HIGHEST), no-pivot.  Deletes
+      the 115 us/step of XLA basis matmuls + 30 us of pads the
+      'fused_np' path paid; those matmuls are pass-bound, so the win
+      comes from halving the passes: 4835-4848 vs 4472 steps/s
+      same-session (2026-08-19).  At HIGHEST the in-kernel variant had
+      measured SLOWER (3616 vs 4387).
     * 'fused_np' / 'fused': models.aa_fused_step — the single-pass
       Pallas step kernel (assembly + solve + loss + adjoint in one grid
       pass over channels-major rows; tap<->response via MXU matmuls
@@ -1035,12 +1037,15 @@ def main():
             # each in a gated subprocess; then the in-process
             # hoisted/graph/ge chain
             # (measure_active_acoustics_steps_per_sec falls back on
-            # parity or loss-gate failure by itself).  fused_np leads
-            # until fused_tin@HIGH has an on-chip measurement beating
-            # it (fused_tin@HIGHEST measured SLOWER, 3616 vs 4387,
-            # 2026-08-19 — the basis matmuls are pass-bound, not
+            # parity or loss-gate failure by itself).  fused_tin leads:
+            # the 3-pass emulated-HIGH taps-in kernel measured 4835-4848
+            # vs fused_np's 4472 steps/s same-session on-chip
+            # (2026-08-19; Mosaic has no HIGH dot lowering — the kernel
+            # splits operands into bf16 hi/lo parts and issues 3 DEFAULT
+            # dots.  fused_tin@HIGHEST had measured SLOWER, 3616 vs
+            # 4387: the basis matmuls are pass-bound, not
             # bandwidth-bound).
-            for mode in ("fused_np", "fused_tin"):
+            for mode in ("fused_tin", "fused_np"):
                 res = _aa_subprocess(mode, args.timeout)
                 if res is None:
                     continue

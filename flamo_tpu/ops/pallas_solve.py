@@ -781,16 +781,25 @@ def pallas_fdn_tf_mse(D, U, b, c, X, t, with_dbar: bool = True,
 # ---------------------------------------------------------------------------
 # fused SOS-cascade response kernel: H(z) = prod_k B_k(z) / prod_k A_k(z)
 # ---------------------------------------------------------------------------
-def _bin_phasor(nfft: int, shape):
+def _bin_phasor(nfft: int, shape, off=None):
     """z^{-1} = e^{-j 2 pi bin / nfft} for this grid program's bin tile,
-    computed from iota (no (M,) phasor array in HBM)."""
+    computed from iota (no (M,) phasor array in HBM).
+
+    ``off`` (a traced f32 scalar, e.g. read from a (1, 1) operand) shifts
+    the PHASOR's bin index by a global offset — this is what makes the
+    iota-phasor kernels shardable over bins: under ``shard_map`` each
+    device's grid covers only its local block, so the phasor must be
+    evaluated at ``local index + shard offset``.  The returned ``binf``
+    stays the LOCAL index (validity masks compare against local row
+    counts in both the sharded and unsharded settings)."""
     pid = pl.program_id(0)
     # Mosaic's iota must be integer-typed; cast after combining
     i0 = jax.lax.broadcasted_iota(jnp.int32, shape, 0)
     i1 = jax.lax.broadcasted_iota(jnp.int32, shape, 1)
     t = (i0 * 128 + i1).astype(jnp.float32)
     binf = jnp.float32(TILE) * pid.astype(jnp.float32) + t
-    w = (2.0 * np.pi / nfft) * binf
+    gbin = binf if off is None else binf + off
+    w = (2.0 * np.pi / nfft) * gbin
     return (jnp.cos(w), -jnp.sin(w)), binf
 
 
@@ -1608,12 +1617,16 @@ def _aa_taps_tf_mse_kernel(N: int, L: int, order: int, nfft: int,
     matmuls are PRECISION-PASS-BOUND, not bandwidth-bound (2 GFLOP at
     HIGHEST = 6 bf16 passes ≈ 115 us ≈ the 38 MB basis read — they
     overlap), so moving them in-kernel only wins if the pass count
-    drops: `precision` selects HIGH (3 passes, ~1e-5 off exact f32 on
-    this workload — the 5e-3 parity gate still guards it) or HIGHEST
-    (6 passes, bit-comparable to the XLA path).  At HIGHEST the
-    in-kernel version measured SLOWER than XLA (236 us vs 164 us,
-    2026-08-19: Mosaic's per-program skinny matmuls pipeline worse
-    than one big streamed XLA matmul)."""
+    drops: `precision` selects 'high' (3 passes, ~1e-5 off exact f32 on
+    this workload — the 5e-3 parity gate still guards it) or 'highest'
+    (6 passes, bit-comparable to the XLA path).  Mosaic lowers only
+    DEFAULT/HIGHEST dots, so 'high' is EMULATED: each f32 operand is
+    split into a bf16-exact hi part + f32 residual and the product is
+    3 single-pass dots (hi@hi + hi@lo + lo@hi — Precision.HIGH's own
+    scheme).  Measured on-chip 2026-08-19: 'high' 4835-4848 steps/s vs
+    the response-rows path's 4472 (same session); 'highest' had
+    measured SLOWER than XLA (236 us vs 164 us: Mosaic's per-program
+    skinny matmuls pipeline worse than one big streamed XLA matmul)."""
     shape = (TILE // 128, 128)
     z, _ = _bin_phasor(nfft, shape)
 
@@ -1635,10 +1648,25 @@ def _aa_taps_tf_mse_kernel(N: int, L: int, order: int, nfft: int,
     P2 = jnp.concatenate([Pr, Pi], axis=1)  # (order, 2*TILE)
 
     tw = tw_ref[...]  # (order, L*N)
-    hp = (jax.lax.Precision.HIGHEST if precision == "highest"
-          else jax.lax.Precision.HIGH)
-    G2 = jax.lax.dot_general(tw, P2, (((0,), (0,)), ((), ())),
-                             precision=hp)  # (L*N, 2*TILE)
+    if precision == "highest":
+        def dot(a, b, dims):
+            return jax.lax.dot_general(
+                a, b, dims, precision=jax.lax.Precision.HIGHEST)
+    else:
+        # Mosaic lowers only DEFAULT/HIGHEST dots, so 'high' (3 bf16
+        # passes) is emulated: split each f32 operand into a bf16-exact
+        # hi part + f32 residual and issue 3 DEFAULT (single-pass) dots
+        # a_hi@b_hi + a_hi@b_lo + a_lo@b_hi — the same scheme
+        # Precision.HIGH uses, minus the lo@lo term it also drops.
+        def dot(a, b, dims):
+            ah = a.astype(jnp.bfloat16).astype(jnp.float32)
+            al = a - ah
+            bh = b.astype(jnp.bfloat16).astype(jnp.float32)
+            bl = b - bh
+            d = partial(jax.lax.dot_general, dimension_numbers=dims,
+                        precision=jax.lax.Precision.DEFAULT)
+            return d(ah, bl) + d(al, bh) + d(ah, bh)
+    G2 = dot(tw, P2, (((0,), (0,)), ((), ())))  # (L*N, 2*TILE)
     grm, gim = G2[:, :TILE], G2[:, TILE:]
 
     H = [[(hr_ref[i * L + j].reshape(shape),
@@ -1705,8 +1733,7 @@ def _aa_taps_tf_mse_kernel(N: int, L: int, order: int, nfft: int,
     # dL/dtw[t, jk] = sum_m Re(s_jk) Pr[t] - Im(s_jk) Pi[t]
     # (dL/dReG = Re S, dL/dImG = -Im S; dG/dtw = P), one merged matmul
     S2 = jnp.concatenate([Sr, -Si], axis=1)  # (L*N, 2*TILE)
-    tb = jax.lax.dot_general(P2, S2, (((1,), (1,)), ((), ())),
-                             precision=hp)  # (order, L*N)
+    tb = dot(P2, S2, (((1,), (1,)), ((), ())))  # (order, L*N)
 
     pid = pl.program_id(0)
 
@@ -1785,10 +1812,13 @@ def pallas_aa_taps_tf_mse(hr, hi, tw, rr, ri, t, N: int, L: int,
     synthesis and the tap cotangent run as in-kernel MXU matmuls, so
     neither the 38 MB basis nor the 40 MB of response/cotangent rows
     ever touch HBM.  Those contractions are precision-pass-bound:
-    ``precision='high'`` (default, 3 bf16 passes, ~1e-5 off exact f32
-    here) halves their cost vs 'highest' (6 passes, bit-comparable to
-    the XLA basis-matmul path, which measured FASTER than the in-kernel
-    HIGHEST variant — use :func:`pallas_aa_tf_mse` if you need it).
+    ``precision='high'`` (default, 3 bf16 passes emulated via hi/lo
+    operand splits — Mosaic lowers only DEFAULT/HIGHEST dots — ~1e-5
+    off exact f32 here) halves their cost vs 'highest' (6 passes,
+    bit-comparable to the XLA basis-matmul path, which measured FASTER
+    than the in-kernel HIGHEST variant — use :func:`pallas_aa_tf_mse`
+    if you need it).  On-chip 2026-08-19: 'high' 4835-4848 steps/s vs
+    4472 for the response-rows path, the AA bench ladder's lead rung.
     hr/hi/rr/ri/t as in pallas_aa_tf_mse (unpadded (rows, M); padding
     happens here)."""
     if precision not in ("high", "highest"):
