@@ -814,13 +814,15 @@ def _horner3(c_ref, k, n, z, P, shape):
 
 
 def _sos_cascade_fwd_kernel(P: int, K: int, N: int, nfft: int,
-                            b_ref, a_ref, hr_ref, hi_ref):
+                            off_ref, b_ref, a_ref, hr_ref, hi_ref):
     """One bin tile of the guarded cascade response, per channel:
     H = prod_k B_k / prod_k A_k, eps where the denominator product is 0
     (the _iir_guard_prods semantics).  Taps live in registers; the
-    per-section (M, K, N) responses never exist anywhere."""
+    per-section (M, K, N) responses never exist anywhere.  off_ref is
+    the (1, 1) global bin offset of this call's row block (zero
+    unsharded; shard_index * local_M under a bins shard_map)."""
     shape = (TILE // 128, 128)
-    z, _ = _bin_phasor(nfft, shape)
+    z, _ = _bin_phasor(nfft, shape, off_ref[0, 0])
     eps = float(np.finfo(np.float32).eps)
     for n in range(N):
         pb = (jnp.ones(shape, jnp.float32), jnp.zeros(shape, jnp.float32))
@@ -838,16 +840,17 @@ def _sos_cascade_fwd_kernel(P: int, K: int, N: int, nfft: int,
 
 
 def _sos_cascade_bwd_kernel(P: int, K: int, N: int, nfft: int, M_true: int,
-                            b_ref, a_ref, gr_ref, gi_ref,
+                            off_ref, b_ref, a_ref, gr_ref, gi_ref,
                             bb_ref, ab_ref):
     """Backward tile: recompute H in registers, then per band k
         b_bar[p,k,n] =  sum_m Re(Hbar H / B_k * z^{-p})
         a_bar[p,k,n] = -sum_m Re(Hbar H / A_k * z^{-p})
     (partials per grid program, summed by the caller).  Contributions are
     masked at guarded bins (prod A == 0 -> H is the eps constant, zero
-    gradient) and at the padded tail."""
+    gradient) and at the padded tail (binf/M_true stay LOCAL row
+    indices/counts — only the phasor sees the off_ref global shift)."""
     shape = (TILE // 128, 128)
-    z, binf = _bin_phasor(nfft, shape)
+    z, binf = _bin_phasor(nfft, shape, off_ref[0, 0])
     zs = [z]  # z^1 .. z^{P-1}, hoisted out of the section loops
     for _ in range(2, P):
         zs.append(_cmul(zs[-1], z))
@@ -896,12 +899,22 @@ def _sos_cascade_prep(b, a):
             a.astype(jnp.float32).reshape(P, K, N), P, K, N)
 
 
-def _sos_cascade_call(b, a, nfft, M_true, backward, g=None):
+def _off_operand(off):
+    """(1, 1) f32 bin-offset operand + its constant-index BlockSpec."""
+    arr = (jnp.zeros((1, 1), jnp.float32) if off is None
+           else jnp.asarray(off, jnp.float32).reshape(1, 1))
+    spec = pl.BlockSpec((1, 1), lambda m: (0, 0),
+                        memory_space=pltpu.VMEM)
+    return arr, spec
+
+
+def _sos_cascade_call(b, a, nfft, M_true, backward, g=None, off=None):
     P, K, N = b.shape
     M = nfft // 2 + 1
     Mp = ((M + TILE - 1) // TILE) * TILE
     n_tiles = Mp // TILE
     grid = (n_tiles,)
+    offa, off_spec = _off_operand(off)
     coef_spec = pl.BlockSpec((P, K, N), lambda m: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((N, TILE), lambda m: (0, m),
@@ -910,11 +923,11 @@ def _sos_cascade_call(b, a, nfft, M_true, backward, g=None):
         hr, hi = pl.pallas_call(
             partial(_sos_cascade_fwd_kernel, P, K, N, nfft),
             grid=grid,
-            in_specs=[coef_spec, coef_spec],
+            in_specs=[off_spec, coef_spec, coef_spec],
             out_specs=[vec_spec, vec_spec],
             out_shape=[jax.ShapeDtypeStruct((N, Mp), jnp.float32)] * 2,
             interpret=_interpret(),
-        )(b, a)
+        )(offa, b, a)
         return jnp.transpose((hr + 1j * hi)[:, :M], (1, 0))
     part_spec = pl.BlockSpec((1, N * K, P), lambda m: (m, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -927,12 +940,12 @@ def _sos_cascade_call(b, a, nfft, M_true, backward, g=None):
     bb, ab = pl.pallas_call(
         partial(_sos_cascade_bwd_kernel, P, K, N, nfft, M),
         grid=grid,
-        in_specs=[coef_spec, coef_spec, vec_spec, vec_spec],
+        in_specs=[off_spec, coef_spec, coef_spec, vec_spec, vec_spec],
         out_specs=[part_spec, part_spec],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, N * K, P), jnp.float32)]
         * 2,
         interpret=_interpret(),
-    )(b, a, gr, gi)
+    )(offa, b, a, gr, gi)
     # (n_tiles, N*K, P) -> (P, K, N)
     def fold(x):
         s = jnp.sum(x, axis=0).reshape(N, K, P)
@@ -940,7 +953,7 @@ def _sos_cascade_call(b, a, nfft, M_true, backward, g=None):
     return fold(bb), fold(ab)
 
 
-def _sos_bwd_rows(b, a, gr, gi, nfft: int, M_true: int):
+def _sos_bwd_rows(b, a, gr, gi, nfft: int, M_true: int, off=None):
     """Tap cotangents from PRE-FORMED Gam-cotangent rows (N, Mp) —
     the standalone backward kernel of :func:`pallas_sos_cascade`, used
     by the hybrid attenuated step (fuse_taps=False).  Returns
@@ -949,6 +962,7 @@ def _sos_bwd_rows(b, a, gr, gi, nfft: int, M_true: int):
     Mp = gr.shape[-1]
     n_tiles = Mp // TILE
     grid = (n_tiles,)
+    offa, off_spec = _off_operand(off)
     coef_spec = pl.BlockSpec((P, K, N), lambda m: (0, 0, 0),
                              memory_space=pltpu.VMEM)
     vec_spec = pl.BlockSpec((N, TILE), lambda m: (0, m),
@@ -958,12 +972,12 @@ def _sos_bwd_rows(b, a, gr, gi, nfft: int, M_true: int):
     bb, ab = pl.pallas_call(
         partial(_sos_cascade_bwd_kernel, P, K, N, nfft, M_true),
         grid=grid,
-        in_specs=[coef_spec, coef_spec, vec_spec, vec_spec],
+        in_specs=[off_spec, coef_spec, coef_spec, vec_spec, vec_spec],
         out_specs=[part_spec, part_spec],
         out_shape=[jax.ShapeDtypeStruct((n_tiles, N * K, P), jnp.float32)]
         * 2,
         interpret=_interpret(),
-    )(b, a, gr, gi)
+    )(offa, b, a, gr, gi)
 
     def fold(x):
         s = jnp.sum(x, axis=0).reshape(N, K, P)
@@ -973,7 +987,28 @@ def _sos_bwd_rows(b, a, gr, gi, nfft: int, M_true: int):
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2,))
-def pallas_sos_cascade(b, a, nfft):
+def _sos_cascade(b, a, nfft, off):
+    b, a, P, K, N = _sos_cascade_prep(b, a)
+    return _sos_cascade_call(b, a, nfft, None, backward=False, off=off)
+
+
+def _sos_cascade_vfwd(b, a, nfft, off):
+    return _sos_cascade(b, a, nfft, off), (b, a, off)
+
+
+def _sos_cascade_vbwd(nfft, res, g):
+    b, a, off = res
+    b2, a2, P, K, N = _sos_cascade_prep(b, a)
+    bb, ab = _sos_cascade_call(b2, a2, nfft, None, backward=True, g=g,
+                               off=off)
+    return (bb.astype(b.dtype).reshape(b.shape),
+            ab.astype(a.dtype).reshape(a.shape), jnp.zeros_like(off))
+
+
+_sos_cascade.defvjp(_sos_cascade_vfwd, _sos_cascade_vbwd)
+
+
+def pallas_sos_cascade(b, a, nfft, bin_offset=None):
     """Guarded SOS-cascade frequency response in ONE Pallas kernel:
 
         H_n(z_m) = prod_k B_{k,n}(z_m) / prod_k A_{k,n}(z_m)
@@ -984,24 +1019,16 @@ def pallas_sos_cascade(b, a, nfft):
     vector registers — the XLA cascade chain materializes ~4 (M, N)
     intermediates per section per direction, which is what dominates
     the attenuated-FDN step.  The VJP recomputes the cascade in-kernel
-    and reduces the (P, K, N) coefficient cotangents per tile."""
-    b, a, P, K, N = _sos_cascade_prep(b, a)
-    return _sos_cascade_call(b, a, nfft, None, backward=False)
+    and reduces the (P, K, N) coefficient cotangents per tile.
 
-
-def _sos_cascade_vfwd(b, a, nfft):
-    return pallas_sos_cascade(b, a, nfft), (b, a)
-
-
-def _sos_cascade_vbwd(nfft, res, g):
-    b, a = res
-    b2, a2, P, K, N = _sos_cascade_prep(b, a)
-    bb, ab = _sos_cascade_call(b2, a2, nfft, None, backward=True, g=g)
-    return bb.astype(b.dtype).reshape(b.shape), \
-        ab.astype(a.dtype).reshape(a.shape)
-
-
-pallas_sos_cascade.defvjp(_sos_cascade_vfwd, _sos_cascade_vbwd)
+    ``bin_offset`` (traced f32 scalar, default 0) shifts the phasor's
+    bin index: row j is evaluated at global bin ``j + bin_offset``.
+    This is what lets the kernel run per-shard under a bins
+    ``shard_map`` (pass ``axis_index * local_M``); it also evaluates
+    response slices directly."""
+    off = (jnp.zeros((), jnp.float32) if bin_offset is None
+           else jnp.asarray(bin_offset, jnp.float32))
+    return _sos_cascade(b, a, nfft, off)
 
 
 # ---------------------------------------------------------------------------
@@ -1041,7 +1068,7 @@ def _cascade_tile(b_ref, a_ref, n, z, P, K, shape, keep_secs=False):
 
 def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
                            with_dbar: bool, pivot: bool, fuse_taps: bool,
-                           dr_ref, di_ref, bt_ref, at_ref, u_ref,
+                           off_ref, dr_ref, di_ref, bt_ref, at_ref, u_ref,
                            b_ref, c_ref, xr_ref, xi_ref, t_ref,
                            loss_ref, ub_ref, bb_ref, cb_ref,
                            *rest_refs):
@@ -1106,7 +1133,7 @@ def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
         gbr_ref, gbi_ref = rest_refs[:2]
         dbar_refs = rest_refs[2:] if with_dbar else ()
     shape = (TILE // 128, 128)
-    z, _ = _bin_phasor(nfft, shape)
+    z, _ = _bin_phasor(nfft, shape, off_ref[0, 0])
     zs = [z]  # z^1 .. z^{P-1}, hoisted out of the section loops
     for _ in range(2, P):
         zs.append(_cmul(zs[-1], z))
@@ -1282,11 +1309,12 @@ def _fdn_sos_tf_mse_kernel(N: int, K: int, P: int, nfft: int, scale: float,
 
 def _fdn_sos_tf_mse_ml(dr, di, bt, at, u, b, c, xr, xi, t, nfft: int,
                        M_true: int, with_dbar: bool, pivot: bool,
-                       fuse_taps: bool):
+                       fuse_taps: bool, off=None):
     N, Mp = dr.shape
     P, K, _ = bt.shape
     n_tiles = Mp // TILE
     grid = (n_tiles,)
+    offa, off_spec = _off_operand(off)
     vec_spec = pl.BlockSpec((N, TILE), lambda m: (0, m),
                             memory_space=pltpu.VMEM)
     coef_spec = pl.BlockSpec((P, K, N), lambda m: (0, 0, 0),
@@ -1332,25 +1360,25 @@ def _fdn_sos_tf_mse_ml(dr, di, bt, at, u, b, c, xr, xi, t, nfft: int,
         partial(_fdn_sos_tf_mse_kernel, N, K, P, nfft, 2.0 / M_true,
                 with_dbar, pivot, fuse_taps),
         grid=grid,
-        in_specs=[vec_spec, vec_spec, coef_spec, coef_spec, u_spec,
-                  nv_spec, nv_spec, t_spec, t_spec, t_spec],
+        in_specs=[off_spec, vec_spec, vec_spec, coef_spec, coef_spec,
+                  u_spec, nv_spec, nv_spec, t_spec, t_spec, t_spec],
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=scratch,
         interpret=_interpret(),
-    )(dr, di, bt, at, u, b, c, xr, xi, t)
+    )(offa, dr, di, bt, at, u, b, c, xr, xi, t)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def _fdn_sos_tf_mse(nfft, with_dbar, pivot, fuse_taps, D, bt, at, U, b, c,
-                    X, t):
+                    X, t, off):
     loss, _ = _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, fuse_taps, D,
-                                  bt, at, U, b, c, X, t)
+                                  bt, at, U, b, c, X, t, off)
     return loss
 
 
 def _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, fuse_taps, D, bt, at, U,
-                        b, c, X, t):
+                        b, c, X, t, off):
     M, N = D.shape
     Mp = ((M + TILE - 1) // TILE) * TILE
     pad = Mp - M
@@ -1366,7 +1394,7 @@ def _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, fuse_taps, D, bt, at, U,
     outs = _fdn_sos_tf_mse_ml(
         jnp.real(Dt), jnp.imag(Dt), bt2, at2, U.astype(rdtype),
         b.astype(rdtype)[:, None], c.astype(rdtype)[:, None],
-        xr, xi, tp, nfft, M, with_dbar, pivot, fuse_taps)
+        xr, xi, tp, nfft, M, with_dbar, pivot, fuse_taps, off=off)
     lp, ub, bbp, cbp = outs[:4]
     P, K, _ = bt.shape
     loss = jnp.sum(lp) / M
@@ -1392,7 +1420,7 @@ def _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, fuse_taps, D, bt, at, U,
         # overhead (profiled 2026-08-18)
         gbr, gbi = outs[4], outs[5]
         rest = outs[6:]
-        bbt, abt = _sos_bwd_rows(bt2, at2, gbr, gbi, nfft, M)
+        bbt, abt = _sos_bwd_rows(bt2, at2, gbr, gbi, nfft, M, off=off)
         bt_bar = bbt.astype(bt.dtype)
         at_bar = abt.astype(at.dtype)
     if with_dbar:
@@ -1400,13 +1428,14 @@ def _fdn_sos_tf_mse_fwd(nfft, with_dbar, pivot, fuse_taps, D, bt, at, U,
         D_bar = jnp.transpose(dbr + 1j * dbi, (1, 0))[:M]
     else:
         D_bar = jnp.zeros_like(D)
-    return loss, (D_bar, bt_bar, at_bar, U_bar, b_bar, c_bar, X, t)
+    return loss, (D_bar, bt_bar, at_bar, U_bar, b_bar, c_bar, X, t, off)
 
 
 def _fdn_sos_tf_mse_bwd(nfft, with_dbar, pivot, fuse_taps, res, g):
-    D_bar, bt_bar, at_bar, U_bar, b_bar, c_bar, X, t = res
+    D_bar, bt_bar, at_bar, U_bar, b_bar, c_bar, X, t, off = res
     return (g * D_bar, g * bt_bar, g * at_bar, g * U_bar, g * b_bar,
-            g * c_bar, jnp.zeros_like(X), jnp.zeros_like(t))
+            g * c_bar, jnp.zeros_like(X), jnp.zeros_like(t),
+            jnp.zeros_like(off))
 
 
 _fdn_sos_tf_mse.defvjp(_fdn_sos_tf_mse_fwd, _fdn_sos_tf_mse_bwd)
@@ -1414,7 +1443,7 @@ _fdn_sos_tf_mse.defvjp(_fdn_sos_tf_mse_fwd, _fdn_sos_tf_mse_bwd)
 
 def pallas_fdn_sos_tf_mse(D, bt, at, U, b, c, X, t, nfft: int,
                           with_dbar: bool = False, pivot: bool = False,
-                          fuse_taps: bool = True):
+                          fuse_taps: bool = True, bin_offset=None):
     """Fused attenuated-FDN training-step kernel: the scalar
 
         L = (1/M) sum_m (|tf_m X_m| - t_m)^2,
@@ -1441,9 +1470,18 @@ def pallas_fdn_sos_tf_mse(D, bt, at, U, b, c, X, t, nfft: int,
     launch re-runs all 2*K*N section Horners and round-trips the (N, M)
     cotangent rows through HBM, which costs more than the in-kernel
     phase 2's scheduling overhead.  Kept as an option/diagnostic; the
-    default stays single-launch."""
+    default stays single-launch.
+
+    ``bin_offset`` (traced f32 scalar, default 0) shifts the in-kernel
+    phasor's bin index so row j of D/X/t is treated as global bin
+    ``j + bin_offset`` — pass ``axis_index * local_M`` to run this
+    kernel per-shard under a bins ``shard_map`` (the loss partial is
+    normalized by the LOCAL row count; renormalize across shards as
+    ``psum(part * local_M) / global_M``, see parallel.fused)."""
+    off = (jnp.zeros((), jnp.float32) if bin_offset is None
+           else jnp.asarray(bin_offset, jnp.float32))
     return _fdn_sos_tf_mse(nfft, with_dbar, pivot, fuse_taps, D, bt, at,
-                           U, b, c, X, t)
+                           U, b, c, X, t, off)
 
 
 # ---------------------------------------------------------------------------
@@ -1594,8 +1632,8 @@ _aa_tf_mse.defvjp(_aa_tf_mse_fwd, _aa_tf_mse_bwd)
 
 def _aa_taps_tf_mse_kernel(N: int, L: int, order: int, nfft: int,
                            scale: float, pivot: bool, precision: str,
-                           hr_ref, hi_ref, tw_ref, rr_ref, ri_ref,
-                           t_ref, loss_ref, tb_ref):
+                           off_ref, hr_ref, hi_ref, tw_ref, rr_ref,
+                           ri_ref, t_ref, loss_ref, tb_ref):
     """Taps-in variant of :func:`_aa_tf_mse_kernel`: the mixer RESPONSE
     never exists in HBM.  Per bin tile the kernel
 
@@ -1628,7 +1666,7 @@ def _aa_taps_tf_mse_kernel(N: int, L: int, order: int, nfft: int,
     measured SLOWER than XLA (236 us vs 164 us: Mosaic's per-program
     skinny matmuls pipeline worse than one big streamed XLA matmul)."""
     shape = (TILE // 128, 128)
-    z, _ = _bin_phasor(nfft, shape)
+    z, _ = _bin_phasor(nfft, shape, off_ref[0, 0])
 
     # power stack P (order, TILE): log-doubling from the tile phasor
     Pr = jnp.ones(shape, jnp.float32).reshape(1, TILE)
@@ -1747,9 +1785,10 @@ def _aa_taps_tf_mse_kernel(N: int, L: int, order: int, nfft: int,
 
 
 def _aa_taps_tf_mse_ml(N, L, order, nfft, pivot, precision, hr, hi, tw,
-                       rr, ri, t, M_true: int):
+                       rr, ri, t, M_true: int, off=None):
     Mp = hr.shape[-1]
     grid = (Mp // TILE,)
+    offa, off_spec = _off_operand(off)
 
     def rows(R):
         return pl.BlockSpec((R, TILE), lambda m: (0, m),
@@ -1759,7 +1798,7 @@ def _aa_taps_tf_mse_ml(N, L, order, nfft, pivot, precision, hr, hi, tw,
         partial(_aa_taps_tf_mse_kernel, N, L, order, nfft,
                 2.0 / (M_true * N), pivot, precision),
         grid=grid,
-        in_specs=[rows(N * L), rows(N * L),
+        in_specs=[off_spec, rows(N * L), rows(N * L),
                   pl.BlockSpec((order, L * N), lambda m: (0, 0),
                                memory_space=pltpu.VMEM),
                   rows(N), rows(N), rows(N)],
@@ -1769,33 +1808,34 @@ def _aa_taps_tf_mse_ml(N, L, order, nfft, pivot, precision, hr, hi, tw,
         out_shape=[jax.ShapeDtypeStruct((1, Mp), hr.dtype),
                    jax.ShapeDtypeStruct((1, order, L * N), hr.dtype)],
         interpret=_interpret(),
-    )(hr, hi, tw, rr, ri, t)
+    )(offa, hr, hi, tw, rr, ri, t)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4, 5))
 def _aa_taps_tf_mse(N, L, order, nfft, pivot, precision, hr, hi, tw, rr,
-                    ri, t):
+                    ri, t, off):
     return _aa_taps_tf_mse_fwd(N, L, order, nfft, pivot, precision, hr,
-                               hi, tw, rr, ri, t)[0]
+                               hi, tw, rr, ri, t, off)[0]
 
 
 def _aa_taps_tf_mse_fwd(N, L, order, nfft, pivot, precision, hr, hi, tw,
-                        rr, ri, t):
+                        rr, ri, t, off):
     M_true = rr.shape[-1]
     Mp = ((M_true + TILE - 1) // TILE) * TILE
     lp, tb = _aa_taps_tf_mse_ml(
         N, L, order, nfft, pivot, precision, _pad_rows(hr, Mp),
         _pad_rows(hi, Mp), tw, _pad_rows(rr, Mp), _pad_rows(ri, Mp),
-        _pad_rows(t, Mp), M_true)
+        _pad_rows(t, Mp), M_true, off=off)
     loss = jnp.sum(lp) / (M_true * N)
-    return loss, (tb[0].astype(tw.dtype), hr, rr, t)
+    return loss, (tb[0].astype(tw.dtype), hr, rr, t, off)
 
 
 def _aa_taps_tf_mse_bwd(N, L, order, nfft, pivot, precision, res, g):
-    tb, hr, rr, t = res
+    tb, hr, rr, t, off = res
     zh = jnp.zeros_like(hr)
     zr = jnp.zeros_like(rr)
-    return (zh, zh, g * tb, zr, zr, jnp.zeros_like(t))
+    return (zh, zh, g * tb, zr, zr, jnp.zeros_like(t),
+            jnp.zeros_like(off))
 
 
 _aa_taps_tf_mse.defvjp(_aa_taps_tf_mse_fwd, _aa_taps_tf_mse_bwd)
@@ -1803,7 +1843,7 @@ _aa_taps_tf_mse.defvjp(_aa_taps_tf_mse_fwd, _aa_taps_tf_mse_bwd)
 
 def pallas_aa_taps_tf_mse(hr, hi, tw, rr, ri, t, N: int, L: int,
                           nfft: int, pivot: bool = False,
-                          precision: str = "high"):
+                          precision: str = "high", bin_offset=None):
     """Taps-in fused active-acoustics step kernel: same loss as
     :func:`pallas_aa_tf_mse` but differentiable directly in the
     envelope-folded mixer TAPS ``tw`` ((order, L*N) rows ``tw[t, j*N+k]
@@ -1820,11 +1860,16 @@ def pallas_aa_taps_tf_mse(hr, hi, tw, rr, ri, t, N: int, L: int,
     if you need it).  On-chip 2026-08-19: 'high' 4835-4848 steps/s vs
     4472 for the response-rows path, the AA bench ladder's lead rung.
     hr/hi/rr/ri/t as in pallas_aa_tf_mse (unpadded (rows, M); padding
-    happens here)."""
+    happens here).  ``bin_offset`` shifts the in-register DFT basis'
+    bin index (column j -> global bin ``j + bin_offset``) so the kernel
+    can run per-shard under a bins ``shard_map``; the loss partial is
+    normalized by the LOCAL column count."""
     if precision not in ("high", "highest"):
         raise ValueError("precision must be 'high' or 'highest'")
+    off = (jnp.zeros((), jnp.float32) if bin_offset is None
+           else jnp.asarray(bin_offset, jnp.float32))
     return _aa_taps_tf_mse(N, L, tw.shape[0], nfft, pivot, precision,
-                           hr, hi, tw, rr, ri, t)
+                           hr, hi, tw, rr, ri, t, off)
 
 
 def pallas_aa_tf_mse(hr, hi, gr, gi, rr, ri, t, N: int, L: int,

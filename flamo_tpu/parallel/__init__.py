@@ -5,4 +5,5 @@ from flamo_tpu.parallel.dp import make_dp_train_step, shard_batch
 from flamo_tpu.parallel.ensemble import MultiSeedEnsemble
 from flamo_tpu.parallel.fused import (
     bins_sharded_fused_loss, make_bins_sharded_fused_step,
+    bins_sharded_attenuated_loss, make_bins_sharded_attenuated_step,
 )

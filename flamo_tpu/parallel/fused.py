@@ -19,12 +19,15 @@ The only collectives are that scalar psum and the gradient psums that
 ``shard_map`` transposition inserts for the replicated parameter
 operands ``U``/``b``/``c`` — both ride ICI.
 
-Caveat for kernels that derive bin indices from ``pl.program_id`` (the
-SOS-cascade family computes its phasor from iota): those are NOT
-shard-oblivious — sharding them needs a per-shard bin offset operand.
+Kernels that derive bin indices from ``pl.program_id`` (the SOS-cascade
+family computes its phasor from iota) are NOT shard-oblivious: under
+``shard_map`` each device's grid restarts at program 0, so the phasor
+must be shifted by the shard's global bin offset.  Those kernels take a
+``bin_offset`` operand for exactly this (ops.pallas_solve._bin_phasor);
+the attenuated-FDN wrapper below passes ``axis_index * local_M``.
 ``pallas_fdn_tf_mse`` takes explicit per-bin operands, so it composes
-as-is; tests/test_parallel.py lockstep-asserts it against the unsharded
-kernel on the 8-virtual-device CPU mesh (interpret mode).
+as-is.  tests/test_parallel.py lockstep-asserts both against the
+unsharded kernels on the 8-virtual-device CPU mesh (interpret mode).
 """
 
 from __future__ import annotations
@@ -39,7 +42,9 @@ from jax.sharding import PartitionSpec as P
 from flamo_tpu.core import masked_optimizer
 from flamo_tpu.parallel.dp import shard_map
 
-__all__ = ["bins_sharded_fused_loss", "make_bins_sharded_fused_step"]
+__all__ = ["bins_sharded_fused_loss", "make_bins_sharded_fused_step",
+           "bins_sharded_attenuated_loss",
+           "make_bins_sharded_attenuated_step"]
 
 
 def bins_sharded_fused_loss(model, X, t, mesh, axis_name: str = "bins",
@@ -82,6 +87,85 @@ def bins_sharded_fused_loss(model, X, t, mesh, axis_name: str = "bins",
         out_specs=P(), check_vma=False,
     )(D, X, t, U, b, c)
     return loss + sparsity_weight * _SPARSITY(None, None, model)
+
+
+def bins_sharded_attenuated_loss(model, X, t, mesh,
+                                 axis_name: str = "bins",
+                                 pivot: bool = False):
+    """Attenuated-FDN fused-step loss (magnitude MSE through
+    ``pallas_fdn_sos_tf_mse``) with the bin axis sharded over
+    ``mesh[axis_name]``.
+
+    The SOS-cascade attenuation inside the kernel derives its phasor
+    from the grid's program id, so each shard passes its global bin
+    offset (``axis_index * local_M``) as the kernel's ``bin_offset``
+    operand; the delay responses ``D``, input spectrum ``X`` and target
+    ``t`` arrive pre-sliced and zero-padded bins are exact no-ops.  The
+    SOS taps, mixer ``U`` and the in/out gains are replicated — their
+    cotangents arrive via the gradient psums ``shard_map`` transposition
+    inserts.  Numerically lockstep with
+    :func:`models.attenuated_fdn.attenuated_loss_fused_step` up to f32
+    reduction order."""
+    from flamo_tpu.models.attenuated_fdn import \
+        extract_attenuated_operands
+    from flamo_tpu.ops.pallas_solve import pallas_fdn_sos_tf_mse
+
+    n = mesh.shape[axis_name]
+    D, bt, at, U, b, c = extract_attenuated_operands(model)
+    nfft = model.nfft
+    M = D.shape[0]
+    Mp = ((M + n - 1) // n) * n
+    pad = Mp - M
+    if pad:
+        D = jnp.pad(D, ((0, pad), (0, 0)))
+        X = jnp.pad(X, (0, pad))
+        t = jnp.pad(t, (0, pad))
+    loop = model.get_core().feedback_loop
+    ff_trainable = bool(getattr(loop.feedforward, "trainable", False))
+
+    def shard_fn(D, X, t, bt, at, U, b, c):
+        loc = D.shape[0]
+        off = (jax.lax.axis_index(axis_name) * loc).astype(jnp.float32)
+        part = pallas_fdn_sos_tf_mse(
+            D, bt, at, U, b, c, X, t, nfft=nfft,
+            with_dbar=ff_trainable, pivot=pivot, bin_offset=off)
+        # kernel normalizes by the LOCAL bin count; undo, psum,
+        # renormalize by the true global M
+        return jax.lax.psum(part * loc, axis_name) / M
+
+    return shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name), P(axis_name),
+                  P(), P(), P(), P(), P()),
+        out_specs=P(), check_vma=False,
+    )(D, X, t, bt, at, U, b, c)
+
+
+def make_bins_sharded_attenuated_step(model, mesh, lr: float = 1e-4,
+                                      axis_name: str = "bins",
+                                      pivot: bool = False):
+    """Build ``(jittable_step, opt_state)`` for the attenuated-FDN
+    workload with the fused SOS step kernel bins-sharded over ``mesh``
+    (parameters and optimizer state replicated).  step(model, opt_state,
+    inputs, targets) takes the canonical (1, T, 1) impulse / (1, M, 1)
+    target shapes of the workload."""
+    tx = masked_optimizer(optax.adam(lr), model)
+    opt_state = tx.init(model)
+    nfft = model.nfft
+
+    def step(model, opt_state, inputs, targets):
+        X = jnp.fft.rfft(inputs[0, :, 0], n=nfft)
+
+        def loss_fn(m):
+            return bins_sharded_attenuated_loss(
+                m, X, targets[0, :, 0], mesh, axis_name=axis_name,
+                pivot=pivot)
+
+        loss, grads = jax.value_and_grad(loss_fn)(model)
+        updates, opt_state = tx.update(grads, opt_state, model)
+        return optax.apply_updates(model, updates), opt_state, loss
+
+    return step, opt_state
 
 
 def make_bins_sharded_fused_step(model, mesh, lr: float = 1e-3,

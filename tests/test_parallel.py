@@ -285,3 +285,73 @@ def test_bins_sharded_fused_grads_match():
         assert np.abs(a - b).max() / scale < 1e-5, (a, b)
         nonzero += np.abs(b).max() > 0
     assert nonzero >= 3  # gains, mixing matrix at least
+
+def test_pallas_sos_cascade_bin_offset_slices():
+    """bin_offset evaluates the cascade response at shifted global bins:
+    rows [k0:] of the full response equal rows [:M-k0] of an offset call
+    (the enabler for sharding the iota-phasor kernel family)."""
+    from flamo_tpu.ops.pallas_solve import pallas_sos_cascade
+
+    rng = np.random.default_rng(5)
+    P_, K, N = 3, 4, 2
+    b = jnp.asarray(rng.normal(size=(P_, K, N)).astype(np.float32))
+    a = jnp.asarray(np.concatenate(
+        [np.ones((1, K, N), np.float32),
+         0.1 * rng.normal(size=(2, K, N)).astype(np.float32)]))
+    nfft = 2048
+    M = nfft // 2 + 1
+    full = np.asarray(jax.jit(
+        lambda b, a: pallas_sos_cascade(b, a, nfft))(b, a))
+    k0 = 512
+    shifted = np.asarray(jax.jit(
+        lambda b, a: pallas_sos_cascade(b, a, nfft, bin_offset=float(k0))
+    )(b, a))
+    np.testing.assert_allclose(shifted[: M - k0], full[k0:],
+                               rtol=2e-4, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_bins_sharded_attenuated_step_matches_unsharded():
+    """The fused attenuated-FDN step kernel (pallas_fdn_sos_tf_mse,
+    interpret mode on the virtual CPU mesh) composed with shard_map over
+    bins is lockstep with the unsharded fused step — the SOS cascade
+    derives its phasor from the grid's program id, so each shard passes
+    its global bin offset (axis_index * local_M) into the kernel."""
+    import optax
+
+    from flamo_tpu.core import masked_optimizer
+    from flamo_tpu.models.attenuated_fdn import (
+        attenuated_loss_fused_step, build_attenuated_fdn)
+    from flamo_tpu.parallel import make_bins_sharded_attenuated_step
+
+    flamo_tpu.set_seed(21)
+    nfft = 4096
+    model = build_attenuated_fdn(nfft=nfft,
+                                 delays=(89, 97, 107, 113, 127, 131))
+    M = nfft // 2 + 1
+    x = jnp.zeros((1, nfft, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, 1))
+
+    mesh = get_mesh(8, axis_name="bins")
+    sh_step, sh_opt = make_bins_sharded_attenuated_step(model, mesh,
+                                                        lr=1e-4)
+    m_sh, o_sh, loss_sh = jax.jit(sh_step)(model, sh_opt, x, t)
+
+    tx = masked_optimizer(optax.adam(1e-4), model)
+    opt = tx.init(model)
+
+    def ref_step(m, o, x, t):
+        loss, g = jax.value_and_grad(attenuated_loss_fused_step)(m, x, t)
+        up, o = tx.update(g, o, m)
+        return optax.apply_updates(m, up), o, loss
+
+    m_ref, o_ref, loss_ref = jax.jit(ref_step)(model, opt, x, t)
+
+    assert abs(float(loss_sh) - float(loss_ref)) / abs(
+        float(loss_ref)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(m_sh),
+                    jax.tree_util.tree_leaves(m_ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            scale = max(1e-12, np.abs(b).max())
+            assert np.abs(a - b).max() / scale < 1e-4
