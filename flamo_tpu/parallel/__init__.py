@@ -6,4 +6,5 @@ from flamo_tpu.parallel.ensemble import MultiSeedEnsemble
 from flamo_tpu.parallel.fused import (
     bins_sharded_fused_loss, make_bins_sharded_fused_step,
     bins_sharded_attenuated_loss, make_bins_sharded_attenuated_step,
+    make_bins_sharded_aa_taps_step,
 )

@@ -24,7 +24,8 @@ family computes its phasor from iota) are NOT shard-oblivious: under
 ``shard_map`` each device's grid restarts at program 0, so the phasor
 must be shifted by the shard's global bin offset.  Those kernels take a
 ``bin_offset`` operand for exactly this (ops.pallas_solve._bin_phasor);
-the attenuated-FDN wrapper below passes ``axis_index * local_M``.
+the attenuated-FDN and AA-taps wrappers below pass
+``axis_index * local_M``.
 ``pallas_fdn_tf_mse`` takes explicit per-bin operands, so it composes
 as-is.  tests/test_parallel.py lockstep-asserts both against the
 unsharded kernels on the 8-virtual-device CPU mesh (interpret mode).
@@ -44,7 +45,8 @@ from flamo_tpu.parallel.dp import shard_map
 
 __all__ = ["bins_sharded_fused_loss", "make_bins_sharded_fused_step",
            "bins_sharded_attenuated_loss",
-           "make_bins_sharded_attenuated_step"]
+           "make_bins_sharded_attenuated_step",
+           "make_bins_sharded_aa_taps_step"]
 
 
 def bins_sharded_fused_loss(model, X, t, mesh, axis_name: str = "bins",
@@ -164,6 +166,81 @@ def make_bins_sharded_attenuated_step(model, mesh, lr: float = 1e-4,
         loss, grads = jax.value_and_grad(loss_fn)(model)
         updates, opt_state = tx.update(grads, opt_state, model)
         return optax.apply_updates(model, updates), opt_state, loss
+
+    return step, opt_state
+
+
+def make_bins_sharded_aa_taps_step(model, mesh, lr: float = 1e-3,
+                                   axis_name: str = "bins",
+                                   pivot: bool = False,
+                                   precision: str = "high"):
+    """Build ``(jittable_step, opt_state)`` for the active-acoustics
+    magnitude-MSE workload with the taps-in fused kernel
+    (:func:`ops.pallas_solve.pallas_aa_taps_tf_mse`) bins-sharded over
+    ``mesh[axis_name]``.
+
+    Per step the frozen room response rows and the rhs spectrum are
+    hoisted once (stop-gradient, exactly like
+    :func:`models.active_acoustics.aa_fused_taps_step`), zero-padded to
+    a multiple of the mesh size (zero bins are exact no-ops: zero rhs
+    and zero target give zero loss and zero cotangents), and sliced per
+    shard; the trainable mixer taps ``tw`` are replicated and their
+    cotangent arrives via the gradient psum ``shard_map`` transposition
+    inserts.  The kernel builds its DFT basis in-register from the iota
+    phasor, so each shard passes ``axis_index * local_M`` as
+    ``bin_offset``.  ``step(model, opt_state, inputs, targets)`` takes
+    the canonical (1, T, L) impulse / (1, M, N) target shapes."""
+    from flamo_tpu.ops.pallas_solve import pallas_aa_taps_tf_mse
+
+    tx = masked_optimizer(optax.adam(lr), model)
+    opt_state = tx.init(model)
+    nfft = model.nfft
+    fb0 = model.get_core().feedback
+    order, L, N = fb0.param.shape  # (taps, n_loudspeakers, n_mics)
+    n = mesh.shape[axis_name]
+    M = nfft // 2 + 1
+    Mp = ((M + n - 1) // n) * n
+
+    def step(m, o, x, t):
+        from flamo_tpu.ops import linop
+
+        loop = m.get_core()
+        kind, Hraw = loop.feedforward.matrix_response()
+        H = jax.lax.stop_gradient(linop.materialize(kind, Hraw, M, N, L))
+        X = jnp.fft.rfft(x, n=nfft, axis=1)[0]  # (M, L)
+        hrows = jnp.transpose(H, (1, 2, 0)).reshape(N * L, -1)
+        rhs = jnp.einsum("mil,ml->im", H, X,
+                         precision=jax.lax.Precision.HIGHEST)
+        rows = (jnp.real(hrows), jnp.imag(hrows), jnp.real(rhs),
+                jnp.imag(rhs), jnp.transpose(t[0], (1, 0)))
+        rows = tuple(jnp.pad(r, ((0, 0), (0, Mp - M))) if Mp > M else r
+                     for r in rows)
+
+        def shard_fn(hr, hi, rr, ri, tt, tw):
+            loc = rr.shape[-1]
+            off = (jax.lax.axis_index(axis_name) * loc).astype(jnp.float32)
+            part = pallas_aa_taps_tf_mse(
+                hr, hi, tw, rr, ri, tt, N=N, L=L, nfft=nfft, pivot=pivot,
+                precision=precision, bin_offset=off)
+            # kernel normalizes by the LOCAL (bins * N) count; undo,
+            # psum, renormalize by the true global count
+            return jax.lax.psum(part * (loc * N), axis_name) / (M * N)
+
+        def loss_fn(mm):
+            fb = mm.get_core().feedback
+            taps = fb.ir(fb.param)  # map applied, (order, L, N)
+            env = jnp.asarray(fb.gamma, taps.dtype) ** jnp.arange(
+                order, dtype=taps.dtype)
+            tw = (taps * env[:, None, None]).reshape(order, L * N)
+            return shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(None, axis_name),) * 5 + (P(),),
+                out_specs=P(), check_vma=False,
+            )(*rows, tw)
+
+        loss, grads = jax.value_and_grad(loss_fn)(m)
+        updates, o = tx.update(grads, o, m)
+        return optax.apply_updates(m, updates), o, loss
 
     return step, opt_state
 

@@ -355,3 +355,41 @@ def test_bins_sharded_attenuated_step_matches_unsharded():
         if a.dtype.kind == "f":
             scale = max(1e-12, np.abs(b).max())
             assert np.abs(a - b).max() / scale < 1e-4
+
+
+@pytest.mark.slow
+def test_bins_sharded_aa_taps_step_matches_unsharded():
+    """The taps-in fused AA step kernel (pallas_aa_taps_tf_mse,
+    interpret mode) composed with shard_map over bins is lockstep with
+    the unsharded fused step — the kernel builds its DFT basis from the
+    grid's iota phasor, so each shard passes its global bin offset."""
+    from flamo_tpu.models.active_acoustics import (
+        aa_fused_taps_step, build_active_acoustics)
+    from flamo_tpu.parallel import make_bins_sharded_aa_taps_step
+
+    flamo_tpu.set_seed(33)
+    nfft, N, L = 2048, 2, 3
+    model = build_active_acoustics(n_mics=N, n_loudspeakers=L,
+                                   rir_length=64, fir_order=8,
+                                   nfft=nfft)
+    M = nfft // 2 + 1
+    x = jnp.zeros((1, nfft, L)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, N))
+
+    mesh = get_mesh(8, axis_name="bins")
+    sh_step, sh_opt = make_bins_sharded_aa_taps_step(model, mesh,
+                                                     lr=1e-3)
+    m_sh, o_sh, loss_sh = jax.jit(sh_step)(model, sh_opt, x, t)
+
+    multi, opt = aa_fused_taps_step(model, x, t, lr=1e-3)
+    m_ref, o_ref, loss_ref = jax.jit(multi, static_argnums=(4,))(
+        model, opt, x, t, 1)
+
+    assert abs(float(loss_sh) - float(loss_ref)) / abs(
+        float(loss_ref)) < 1e-5
+    for a, b in zip(jax.tree_util.tree_leaves(m_sh),
+                    jax.tree_util.tree_leaves(m_ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            scale = max(1e-12, np.abs(b).max())
+            assert np.abs(a - b).max() / scale < 1e-4
