@@ -32,7 +32,7 @@ from flamo_tpu.utils import RegularGridInterpolator, next_key, to_complex
 
 __all__ = [
     "get_magnitude", "get_eigenvalues", "eigvals", "eigvals_dk",
-    "eigvals_lapack", "eigvals_qr",
+    "eigvals_lapack", "eigvals_qr", "eigvals_qr_grad",
     "charpoly", "poly_roots", "poly_roots_rows", "spectral_radius",
     "skew_matrix",
     "expm", "expm_skew",
@@ -69,7 +69,8 @@ EIG_DK_MAX_N = 8
 # (~1e-5 set-match vs LAPACK up to N=32, no-grad) — lifts the old N<=8
 # ceiling for GBI-style analysis of larger rigs on the callback-less
 # axon backend
-from flamo_tpu.ops.qr_eig import EIG_QR_MAX_N, eigvals_qr  # noqa: E402
+from flamo_tpu.ops.qr_eig import (  # noqa: E402
+    EIG_QR_MAX_N, eigvals_qr, eigvals_qr_grad)
 
 
 def _callbacks_unsupported() -> bool:
@@ -185,25 +186,30 @@ def eigvals(A):
 
     Dispatches per backend (trace-time static check): LAPACK through a
     host callback with the closed-form eigvector VJP
-    (:func:`eigvals_lapack`) where callbacks work, and the fully
-    on-device char-poly solver (:func:`eigvals_dk`) on backends that
-    reject host callbacks (the axon TPU tunnel) for N <= EIG_DK_MAX_N.
-    Both are exact-gradient for simple spectra; eigenvalue ORDER is
-    backend-dependent (LAPACK vs Durand-Kerner iteration order) — treat
-    the result as a set (sort, or use symmetric functions), which is
-    what every in-tree consumer (optimize.mse_evs, GBI analysis) does.
+    (:func:`eigvals_lapack`) where callbacks work; on backends that
+    reject host callbacks (the axon TPU tunnel) the fully on-device
+    char-poly solver (:func:`eigvals_dk`) for N <= EIG_DK_MAX_N and the
+    on-device QR solver with the inverse-iteration eigenvector pullback
+    (:func:`flamo_tpu.ops.qr_eig.eigvals_qr_grad`) for
+    N <= EIG_QR_MAX_N.  All are exact-gradient for simple spectra;
+    eigenvalue ORDER is backend-dependent (LAPACK vs iteration order) —
+    treat the result as a set (sort, or use symmetric functions), which
+    is what every in-tree consumer (optimize.mse_evs, GBI analysis)
+    does.
     """
     A = jnp.asarray(A)
     if _callbacks_unsupported():
         if A.shape[-1] <= EIG_DK_MAX_N:
             return eigvals_dk(A)
+        if A.shape[-1] <= EIG_QR_MAX_N:
+            from flamo_tpu.ops.qr_eig import eigvals_qr_grad
+
+            return eigvals_qr_grad(A)
         raise NotImplementedError(
             f"differentiable eig of N={A.shape[-1]} on the "
             f"'{jax.default_backend()}' backend: host callbacks are "
-            f"unsupported and the on-device char-poly solver is gated "
-            f"to N <= {EIG_DK_MAX_N} (for no-grad analysis up to "
-            f"N <= {EIG_QR_MAX_N} use get_eigenvalues, which routes to "
-            f"the on-device QR solver)")
+            f"unsupported and the on-device QR solver is gated to "
+            f"N <= {EIG_QR_MAX_N}")
     return eigvals_lapack(A)
 
 

@@ -38,10 +38,13 @@ iteration gives ~``N * eps_f32 * ||A||`` accuracy — measured 1e-6..1e-5
 set-match vs LAPACK for random and clustered f32 spectra up to N=32
 (tests/test_functional.py) — where the char-poly route is useless.
 
-Analysis-only: the iteration is not usefully differentiable (use
-:func:`flamo_tpu.functional.eigvals` / ``mse_evs`` for training
-objectives, N <= 8 on axon).  ``lax`` loop carries are re/im REAL pairs
-(complex carries hit backend UNIMPLEMENTED on the tunnel, CLAUDE.md).
+:func:`eigvals_qr` itself is analysis-only (the Givens iteration is not
+usefully differentiable); :func:`eigvals_qr_grad` wraps it with the
+closed-form eigenvalue VJP — eigenvectors recovered on device by
+inverse iteration — which is what :func:`flamo_tpu.functional.eigvals`
+routes 8 < N <= 32 training objectives through on callback-less
+backends.  ``lax`` loop carries are re/im REAL pairs (complex carries
+hit backend UNIMPLEMENTED on the tunnel, CLAUDE.md).
 """
 
 from __future__ import annotations
@@ -49,7 +52,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["eigvals_qr", "EIG_QR_MAX_N"]
+__all__ = ["eigvals_qr", "eigvals_qr_grad", "EIG_QR_MAX_N"]
 
 #: largest N routed to the QR eigensolver where host callbacks are
 #: unavailable.  The algorithm has no hard ceiling (compiled size is
@@ -206,3 +209,107 @@ def eigvals_qr(A, sweeps: int = 14):
     z = jnp.diagonal(H, axis1=-2, axis2=-1)
     out = z * s[:, None].astype(z.dtype) + mu0[:, None]
     return out.reshape(batch + (N,))
+
+
+# ----------------------------------------------------------------------
+# differentiable wrapper: closed-form eigenvalue VJP with on-device
+# inverse-iteration eigenvectors
+# ----------------------------------------------------------------------
+def _right_eigvecs(A, lam, iters: int = 2):
+    """Right eigenvectors of ``A`` (B, N, N) by inverse iteration seeded
+    with the computed eigenvalues ``lam`` (B, N).
+
+    The shift is perturbed by ``~1e-6 * ||A||_F / sqrt(N)`` — the f32 QR
+    eigenvalues are only that accurate anyway, and it keeps the pivoted
+    elimination away from exact zero pivots (LAPACK's xHSEIN plays the
+    same trick).  Two normalized iterations from a fixed golden-angle
+    start vector (no alignment with structured eigenbases such as
+    Hadamard/circulant); each iteration multiplies the error by
+    ``~(perturbation / spectral gap)``, so simple well-separated spectra
+    get eigenvectors to ~f32 accuracy.  Returns V with columns
+    ``V[..., :, k] = v_k``.
+    """
+    from flamo_tpu.ops.solve import gauss_solve
+
+    B, N, _ = A.shape
+    eye = jnp.eye(N, dtype=A.dtype)
+    s = jnp.maximum(
+        jnp.sqrt(jnp.sum(jnp.abs(A) ** 2, axis=(-2, -1)) / N), 1e-30)
+    shift = lam + (1e-6 * s[:, None]).astype(lam.dtype)
+    Ms = A[:, None, :, :] - shift[:, :, None, None] * eye  # (B, N, N, N)
+    ang = 2.399963 * jnp.arange(N, dtype=jnp.float32)  # golden angle
+    b0 = (jnp.cos(ang) + 1j * jnp.sin(0.5 * ang + 0.25)).astype(A.dtype)
+    b0 = b0 / jnp.linalg.norm(b0).astype(A.dtype)
+    x = jnp.broadcast_to(b0, (B, N, N))
+    for _ in range(iters):
+        x = gauss_solve(Ms, x)  # vector rhs per (B, N) shift
+        nrm = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=-1, keepdims=True))
+        x = x / jnp.maximum(nrm, 1e-30).astype(x.dtype)
+    return jnp.swapaxes(x, -1, -2)
+
+
+def eigvals_qr_grad(A, sweeps: int = 14, iters: int = 2):
+    """Differentiable :func:`eigvals_qr`: eigenvalues by the on-device
+    QR iteration, gradients by the closed-form eigenvector pullback.
+
+    The QR iteration itself is not usefully differentiable (Givens
+    chains through ``fori_loop`` carries), but the eigenvalue
+    derivative has a closed form: with ``A = V diag(w) V^-1`` and
+    simple eigenvalues, ``dw_i = (V^-1 dA V)_ii``, hence ``A_bar =
+    (V diag(w_bar) V^-1)^T`` — the same pullback
+    :func:`flamo_tpu.functional.eigvals_lapack` uses, with ``V``
+    recovered ON DEVICE by inverse iteration seeded with the converged
+    eigenvalues (:func:`_right_eigvecs`) instead of shipped from a host
+    callback.  This lifts the trainable-eigenvalue ceiling on
+    callback-less backends (axon) from the char-poly solver's N <= 8 to
+    N <= 32: ``mse_evs`` objectives over 8+-mic active-acoustics rigs
+    (reference e8_active_acoustics.py:564-621 via torch.linalg.eigvals
+    autograd) become trainable on the target hardware.
+
+    Gradients are exact for simple spectra; near-defective matrices
+    inflate ``V^-1`` (same failure mode as the LAPACK route).  Order is
+    arbitrary — consume as a set (sort / symmetric functions), as every
+    in-tree objective does.
+    """
+    return _eigvals_qr_grad(A, sweeps, iters)
+
+
+from functools import partial as _partial  # noqa: E402
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _eigvals_qr_grad(A, sweeps, iters):
+    return eigvals_qr(A, sweeps)
+
+
+def _eigvals_qr_grad_fwd(A, sweeps, iters):
+    A = jnp.asarray(A)
+    Ac = A if jnp.issubdtype(A.dtype, jnp.complexfloating) else A.astype(
+        jnp.complex64 if A.dtype != jnp.float64 else jnp.complex128)
+    N = A.shape[-1]
+    Acf = Ac.reshape((-1, N, N))
+    lam = eigvals_qr(Acf, sweeps)
+    return lam.reshape(A.shape[:-1]), (Acf, lam,
+                                       jnp.zeros((0,), A.dtype))
+
+
+def _eigvals_qr_grad_bwd(sweeps, iters, res, w_bar):
+    from flamo_tpu.ops.solve import gauss_solve
+
+    Acf, lam, sentinel = res
+    in_dtype = sentinel.dtype
+    batch = w_bar.shape[:-1]
+    N = w_bar.shape[-1]
+    wb = w_bar.reshape((-1, N)).astype(Acf.dtype)
+    V = _right_eigvecs(Acf, lam, iters)
+    eyeb = jnp.broadcast_to(jnp.eye(N, dtype=V.dtype), V.shape)
+    Vinv = gauss_solve(V, eyeb)
+    # JAX cotangents carry the conjugation, so the pullback is the plain
+    # transpose — identical convention to functional._eigvals_bwd.
+    A_bar = jnp.swapaxes(V @ (wb[:, :, None] * Vinv), -1, -2)
+    if not jnp.issubdtype(in_dtype, jnp.complexfloating):
+        A_bar = A_bar.real
+    return (A_bar.astype(in_dtype).reshape(batch + (N, N)),)
+
+
+_eigvals_qr_grad.defvjp(_eigvals_qr_grad_fwd, _eigvals_qr_grad_bwd)

@@ -516,5 +516,49 @@ def test_get_eigenvalues_qr_dispatch(monkeypatch):
     big = jnp.zeros((2, 40, 40), jnp.complex64)
     with pytest.raises(NotImplementedError):
         Fm.get_eigenvalues(big)
+    # differentiable eigvals now routes 8 < N <= 32 to the QR solver's
+    # inverse-iteration VJP; only N > 32 refuses
+    z16 = np.asarray(Fm.eigvals(jnp.asarray(A)))
+    err = _match_sets(z16, np.linalg.eigvals(A))
+    assert err < 1e-4, err
     with pytest.raises(NotImplementedError):
-        Fm.eigvals(jnp.zeros((2, 16, 16), jnp.complex64))
+        Fm.eigvals(big)
+
+
+def test_eigvals_qr_grad_matches_callback():
+    """The inverse-iteration eigenvector VJP (eigvals_qr_grad) vs the
+    LAPACK eigvector VJP through an order-free loss (sorted magnitudes,
+    the mse_evs shape) at N=16 — above the char-poly solver's ceiling,
+    where this is the only trainable route on callback-less backends."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    A = jnp.asarray((rng.normal(size=(4, 16, 16)) + 1j * rng.normal(
+        size=(4, 16, 16))).astype(np.complex64))
+    t = jnp.asarray(rng.uniform(size=(4, 16)).astype(np.float32))
+
+    def loss(eig_fn, A):
+        m = jnp.sort(jnp.abs(eig_fn(A)), axis=-1)
+        return jnp.mean((m - t) ** 2)
+
+    l_qr = float(loss(F.eigvals_qr_grad, A))
+    l_cb = float(loss(F.eigvals_lapack, A))
+    assert abs(l_qr - l_cb) / abs(l_cb) < 1e-4
+    g_qr = jax.jit(jax.grad(lambda A: loss(F.eigvals_qr_grad, A)))(A)
+    g_cb = jax.grad(lambda A: loss(F.eigvals_lapack, A))(A)
+    rel = float(jnp.abs(g_qr - g_cb).max() / jnp.abs(g_cb).max())
+    assert rel < 5e-3, rel
+
+    # real input: gradient must stay real (tangent-space projection)
+    Ar = jnp.asarray(rng.normal(size=(3, 12, 12)).astype(np.float32))
+    tr = jnp.asarray(rng.uniform(size=(3, 12)).astype(np.float32))
+
+    def loss_r(eig_fn, A):
+        m = jnp.sort(jnp.abs(eig_fn(A)), axis=-1)
+        return jnp.mean((m - tr) ** 2)
+
+    gr = jax.grad(lambda A: loss_r(F.eigvals_qr_grad, A))(Ar)
+    assert gr.dtype == Ar.dtype
+    g_cbr = jax.grad(lambda A: loss_r(F.eigvals_lapack, A))(Ar)
+    rel_r = float(jnp.abs(gr - g_cbr).max() / jnp.abs(g_cbr).max())
+    assert rel_r < 5e-3, rel_r
