@@ -42,7 +42,7 @@ set-match vs LAPACK for random and clustered f32 spectra up to N=32
 usefully differentiable); :func:`eigvals_qr_grad` wraps it with the
 closed-form eigenvalue VJP — eigenvectors recovered on device by
 inverse iteration — which is what :func:`flamo_tpu.functional.eigvals`
-routes 8 < N <= 32 training objectives through on callback-less
+routes 8 < N <= EIG_QR_MAX_N training objectives through on callback-less
 backends.  ``lax`` loop carries are re/im REAL pairs (complex carries
 hit backend UNIMPLEMENTED on the tunnel, CLAUDE.md).
 """
@@ -56,8 +56,10 @@ __all__ = ["eigvals_qr", "eigvals_qr_grad", "EIG_QR_MAX_N"]
 
 #: largest N routed to the QR eigensolver where host callbacks are
 #: unavailable.  The algorithm has no hard ceiling (compiled size is
-#: O(1) in N); 32 bounds the lockstep sweep budget to something sane.
-EIG_QR_MAX_N = 32
+#: O(1) in N) and accuracy holds well past it (measured ~2.5e-5
+#: set-match vs LAPACK at N=64 on the tunnel and N=128 on CPU); 64
+#: bounds the O(N^2)-dynamic-step sweep schedule to something sane.
+EIG_QR_MAX_N = 64
 
 
 def _hessenberg(H):
@@ -262,7 +264,8 @@ def eigvals_qr_grad(A, sweeps: int = 14, iters: int = 2):
     eigenvalues (:func:`_right_eigvecs`) instead of shipped from a host
     callback.  This lifts the trainable-eigenvalue ceiling on
     callback-less backends (axon) from the char-poly solver's N <= 8 to
-    N <= 32: ``mse_evs`` objectives over 8+-mic active-acoustics rigs
+    N <= EIG_QR_MAX_N: ``mse_evs`` objectives over 8+-mic active-acoustics
+    rigs
     (reference e8_active_acoustics.py:564-621 via torch.linalg.eigvals
     autograd) become trainable on the target hardware.
 

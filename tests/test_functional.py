@@ -499,9 +499,36 @@ def test_eigvals_qr_n32():
     assert err < 1e-4, err
 
 
+@pytest.mark.slow
+def test_eigvals_qr_n64():
+    """Top of the gated range (EIG_QR_MAX_N = 64): values vs LAPACK and
+    the inverse-iteration VJP vs the LAPACK eigvector VJP."""
+    import numpy as np
+
+    rng = np.random.default_rng(17)
+    A = (rng.normal(size=(2, 64, 64))
+         + 1j * rng.normal(size=(2, 64, 64))).astype(np.complex64)
+    Aj = jnp.asarray(A)
+    err = _match_sets(np.asarray(jax.jit(F.eigvals_qr)(Aj)),
+                      np.linalg.eigvals(A))
+    assert err < 1e-4, err
+
+    t = jnp.asarray(rng.uniform(size=(2, 64)).astype(np.float32))
+
+    def loss(eig_fn, A):
+        m = jnp.sort(jnp.abs(eig_fn(A)), axis=-1)
+        return jnp.mean((m - t) ** 2)
+
+    g_qr = jax.grad(lambda A: loss(F.eigvals_qr_grad, A))(Aj)
+    g_cb = jax.grad(lambda A: loss(F.eigvals_lapack, A))(Aj)
+    rel = float(jnp.abs(g_qr - g_cb).max() / jnp.abs(g_cb).max())
+    assert rel < 5e-3, rel
+
+
 def test_get_eigenvalues_qr_dispatch(monkeypatch):
-    """On callback-less backends get_eigenvalues must route 8 < N <= 32
-    to the QR solver (and still refuse N > 32 with a clear error)."""
+    """On callback-less backends get_eigenvalues must route
+    8 < N <= EIG_QR_MAX_N to the QR solver (and still refuse larger N
+    with a clear error)."""
     import numpy as np
 
     import flamo_tpu.functional as Fm
@@ -513,11 +540,13 @@ def test_get_eigenvalues_qr_dispatch(monkeypatch):
     z = np.asarray(Fm.get_eigenvalues(jnp.asarray(A)))
     err = _match_sets(z, np.linalg.eigvals(A))
     assert err < 1e-4, err
-    big = jnp.zeros((2, 40, 40), jnp.complex64)
+    from flamo_tpu.ops.qr_eig import EIG_QR_MAX_N
+
+    big = jnp.zeros((2, EIG_QR_MAX_N + 8, EIG_QR_MAX_N + 8), jnp.complex64)
     with pytest.raises(NotImplementedError):
         Fm.get_eigenvalues(big)
-    # differentiable eigvals now routes 8 < N <= 32 to the QR solver's
-    # inverse-iteration VJP; only N > 32 refuses
+    # differentiable eigvals routes 8 < N <= EIG_QR_MAX_N to the QR
+    # solver's inverse-iteration VJP; only larger N refuses
     z16 = np.asarray(Fm.eigvals(jnp.asarray(A)))
     err = _match_sets(z16, np.linalg.eigvals(A))
     assert err < 1e-4, err
