@@ -1690,6 +1690,12 @@ def _aa_taps_tf_mse_kernel(N: int, L: int, order: int, nfft: int,
         def dot(a, b, dims):
             return jax.lax.dot_general(
                 a, b, dims, precision=jax.lax.Precision.HIGHEST)
+    elif precision == "default":
+        # single bf16 pass: ~1e-3 off exact f32 on this workload — only
+        # valid behind the caller's final-loss/parity gate
+        def dot(a, b, dims):
+            return jax.lax.dot_general(
+                a, b, dims, precision=jax.lax.Precision.DEFAULT)
     else:
         # Mosaic lowers only DEFAULT/HIGHEST dots, so 'high' (3 bf16
         # passes) is emulated: split each f32 operand into a bf16-exact
@@ -1859,13 +1865,19 @@ def pallas_aa_taps_tf_mse(hr, hi, tw, rr, ri, t, N: int, L: int,
     than the in-kernel HIGHEST variant — use :func:`pallas_aa_tf_mse`
     if you need it).  On-chip 2026-08-19: 'high' 4835-4848 steps/s vs
     4472 for the response-rows path, the AA bench ladder's lead rung.
-    hr/hi/rr/ri/t as in pallas_aa_tf_mse (unpadded (rows, M); padding
-    happens here).  ``bin_offset`` shifts the in-register DFT basis'
+    ``precision='default'`` (1 pass) measured +35% on top (6291 vs
+    4674 steps/s same-session) but DEGRADES TRAINING: the bf16 tap
+    contractions shift the init loss ~5% and the 400-step final loss
+    lands 23% higher at reference scale (12.46 -> 15.38,
+    deterministic) — explicit opt-in only, never a gated-ladder
+    default.  hr/hi/rr/ri/t as in pallas_aa_tf_mse (unpadded
+    (rows, M); padding happens here).  ``bin_offset`` shifts the in-register DFT basis'
     bin index (column j -> global bin ``j + bin_offset``) so the kernel
     can run per-shard under a bins ``shard_map``; the loss partial is
     normalized by the LOCAL column count."""
-    if precision not in ("high", "highest"):
-        raise ValueError("precision must be 'high' or 'highest'")
+    if precision not in ("default", "high", "highest"):
+        raise ValueError(
+            "precision must be 'default', 'high' or 'highest'")
     off = (jnp.zeros((), jnp.float32) if bin_offset is None
            else jnp.asarray(bin_offset, jnp.float32))
     return _aa_taps_tf_mse(N, L, tw.shape[0], nfft, pivot, precision,
