@@ -711,6 +711,148 @@ def measure_torch_freq_evals_baseline(n_evals: int = 5):
     return n_evals / (time.perf_counter() - t0)
 
 
+def measure_torch_attenuated_baseline(n_steps: int = 3):
+    """Reference side of the attenuated-FDN metric: an independent
+    eager-torch-CPU implementation of the identical training step
+    (e8_fdn topology — delays feedforward, Series(orthogonal mixing,
+    sigmoid-mapped 13-band GEQ) feedback, magnitude-MSE on the
+    closed-loop response, Adam).  The per-step work mirrors the
+    reference's execution model: per-line GEQ biquad design from the
+    command gains (RBJ peak/shelf formulas — simpler than the
+    reference's design math, which only flatters the baseline), SOS
+    cascade evaluated on the full rfft grid, dense per-bin closed-loop
+    solve, full backward."""
+    import torch
+
+    torch.manual_seed(130709)
+    N = len(DELAYS)
+    M = NFFT // 2 + 1
+    fs = 48000.0
+    delays = torch.tensor(DELAYS, dtype=torch.float32)
+    centers = [31.25 * 2 ** i for i in range(10)]  # octave bands
+    sh_lo = centers[0] / 2 ** 0.5
+    sh_hi = centers[-1] * 2 ** 0.5
+    omega = 2 * torch.pi * torch.arange(M) / NFFT
+    z1 = torch.exp(-1j * omega)  # z^-1 on the rfft grid
+    z2 = z1 * z1
+
+    input_gain = torch.randn(N, 1, requires_grad=True)
+    output_gain = torch.randn(1, N, requires_grad=True)
+    W = torch.randn(N, N, requires_grad=True)
+    geq_raw = torch.randn(12, N, requires_grad=True)  # 12 bands/line
+    opt = torch.optim.Adam([input_gain, output_gain, W, geq_raw],
+                           lr=1e-4)
+    x = torch.zeros(1, M, 1)
+    x[:, 0, :] = 1.0
+    target = torch.ones(1, M, 1)
+
+    def biquad(gain_db, f0, Q, kind):
+        # RBJ peaking / shelving sections, vectorized over the N lines
+        A = 10 ** (gain_db / 40.0)
+        import math
+        w0 = 2 * math.pi * f0 / fs
+        alpha = math.sin(w0) / (2 * Q)
+        cw = math.cos(w0)
+        if kind == "peak":
+            b = torch.stack([1 + alpha * A, (-2 * cw) * torch.ones_like(A),
+                             1 - alpha * A])
+            a = torch.stack([1 + alpha / A, (-2 * cw) * torch.ones_like(A),
+                             1 - alpha / A])
+        else:  # shelf (low/high by sign convention of f0 choice)
+            sA = torch.sqrt(A)
+            common = 2 * sA * alpha
+            if kind == "lowshelf":
+                b = torch.stack([A * ((A + 1) - (A - 1) * cw + common),
+                                 2 * A * ((A - 1) - (A + 1) * cw),
+                                 A * ((A + 1) - (A - 1) * cw - common)])
+                a = torch.stack([(A + 1) + (A - 1) * cw + common,
+                                 -2 * ((A - 1) + (A + 1) * cw),
+                                 (A + 1) + (A - 1) * cw - common])
+            else:
+                b = torch.stack([A * ((A + 1) + (A - 1) * cw + common),
+                                 -2 * A * ((A - 1) + (A + 1) * cw),
+                                 A * ((A + 1) + (A - 1) * cw - common)])
+                a = torch.stack([(A + 1) - (A - 1) * cw + common,
+                                 2 * ((A - 1) - (A + 1) * cw),
+                                 (A + 1) - (A - 1) * cw - common])
+        return b, a  # (3, N)
+
+    def step():
+        opt.zero_grad()
+        X = torch.fft.rfft(x, n=NFFT, dim=1)
+        U = torch.matrix_exp(torch.triu(W, 1) - torch.triu(W, 1).T)
+        gains_db = 20 * torch.log10(torch.sigmoid(geq_raw))  # (12, N)
+        H = torch.ones(M, N, dtype=torch.complex64)
+        specs = ([("lowshelf", sh_lo, 0.7071)]
+                 + [("peak", f0, 4.318) for f0 in centers]
+                 + [("highshelf", sh_hi, 0.7071)])
+        for k, (kind, f0, Q) in enumerate(specs):
+            b, a = biquad(gains_db[k], f0, Q, kind)
+            bc = b.to(torch.complex64)
+            ac = a.to(torch.complex64)
+            num = (bc[0][None, :] + bc[1][None, :] * z1[:, None]
+                   + bc[2][None, :] * z2[:, None])
+            den = (ac[0][None, :] + ac[1][None, :] * z1[:, None]
+                   + ac[2][None, :] * z2[:, None])
+            H = H * (num / den)
+        D = torch.exp(-1j * omega[:, None] * delays[None, :])
+        B = H[:, :, None] * U.to(torch.complex64)[None, :, :]
+        I = torch.eye(N, dtype=torch.complex64).expand(M, N, N)
+        A = I - D[:, :, None] * B
+        u_in = input_gain.to(torch.complex64) @ X.permute(1, 2, 0)
+        y = torch.linalg.solve(A, D[:, :, None] * u_in)
+        out = (output_gain.to(torch.complex64) @ y).permute(2, 0, 1)
+        mse = torch.mean((torch.abs(out) - target) ** 2)
+        mse.backward()
+        opt.step()
+        return float(mse.detach())
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    return n_steps / (time.perf_counter() - t0)
+
+
+def measure_torch_aa_baseline(n_steps: int = 3):
+    """Reference side of the active-acoustics magnitude metric: an
+    independent eager-torch-CPU implementation of the identical step
+    (4 mics x 13 loudspeakers MIMO loop, RIR 15000, FIR order 100,
+    nfft=96000 — room and mixer responses recomputed per step exactly
+    as the reference's eager forward does, dense (M, 4, 4) closed-loop
+    solve, magnitude MSE, Adam on the mixer taps)."""
+    import torch
+
+    torch.manual_seed(130297)
+    n_m, n_l, rir, order = 4, 13, 15000, 100
+    M = NFFT // 2 + 1
+    env = torch.exp(-6.9077553 * torch.arange(rir) / (0.5 * 48000))
+    rooms = torch.randn(rir, n_m, n_l) * env[:, None, None]
+    taps = (0.01 * torch.randn(order, n_l, n_m)).requires_grad_(True)
+    opt = torch.optim.Adam([taps], lr=1e-3)
+    X = torch.ones(M, n_l, dtype=torch.complex64)  # rfft of the impulse
+    target = torch.ones(M, n_m)
+
+    def step():
+        opt.zero_grad()
+        H = torch.fft.rfft(rooms, n=NFFT, dim=0)  # (M, n_m, n_l)
+        G = torch.fft.rfft(taps.to(torch.float32), n=NFFT, dim=0)
+        A = (torch.eye(n_m, dtype=torch.complex64).expand(M, n_m, n_m)
+             - torch.einsum("mil,mlk->mik", H, G))
+        rhs = torch.einsum("mil,ml->mi", H, X)
+        y = torch.linalg.solve(A, rhs[..., None])[..., 0]
+        mse = torch.mean((torch.abs(y) - target) ** 2)
+        mse.backward()
+        opt.step()
+        return float(mse.detach())
+
+    step()  # warmup
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        step()
+    return n_steps / (time.perf_counter() - t0)
+
+
 def get_baseline(refresh: bool = False):
     """Cached torch-CPU baselines: primary train steps/s + secondary
     freq-response evals/s.  Returns the dict; re-measures any missing
@@ -727,6 +869,13 @@ def get_baseline(refresh: bool = False):
     if "torch_cpu_freq_evals_per_sec" not in data:
         data["torch_cpu_freq_evals_per_sec"] = (
             measure_torch_freq_evals_baseline())
+        changed = True
+    if "torch_cpu_attenuated_steps_per_sec" not in data:
+        data["torch_cpu_attenuated_steps_per_sec"] = (
+            measure_torch_attenuated_baseline())
+        changed = True
+    if "torch_cpu_aa_steps_per_sec" not in data:
+        data["torch_cpu_aa_steps_per_sec"] = measure_torch_aa_baseline()
         changed = True
     if changed or refresh:
         with open(BASELINE_CACHE, "w") as f:
@@ -1085,6 +1234,16 @@ def main():
                     max(vals) / evals_baseline, 2)
                 extra["torch_cpu_freq_evals_per_sec"] = round(
                     evals_baseline, 3)
+            for metric, bkey in (
+                    ("attenuated_fdn_steps_per_sec",
+                     "torch_cpu_attenuated_steps_per_sec"),
+                    ("active_acoustics_steps_per_sec",
+                     "torch_cpu_aa_steps_per_sec")):
+                if name == metric and vals and baselines.get(bkey):
+                    extra[metric.replace("_steps_per_sec",
+                                         "_vs_baseline")] = round(
+                        max(vals) / baselines[bkey], 2)
+                    extra[bkey] = round(baselines[bkey], 3)
         try:
             extra.update(measure_n64_solve_ms())
         except Exception as e:  # pragma: no cover - backend flakiness
