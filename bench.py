@@ -144,12 +144,32 @@ def measure_jax_evals_per_sec(k: int = 200, n_calls: int = 2):
     from flamo_tpu.models import build_colorless_fdn
     from flamo_tpu.utils import host_eager
 
-    flamo_tpu.set_seed(130709)
-    with host_eager():
-        model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+    def build(solve_method):
+        flamo_tpu.set_seed(130709)
+        with host_eager():
+            return build_colorless_fdn(nfft=NFFT, delays=DELAYS,
+                                       solve_method=solve_method)
+
     from flamo_tpu.utils import to_device
 
-    model = to_device(model)
+    model = to_device(build("ge"))
+    # gated faster rung: the in-graph fused Pallas solve
+    # (``solve_method='pallas'`` — a plain library option, same module
+    # graph).  Response-parity-checked against the pivoted XLA solve;
+    # any failure falls back to the XLA model.
+    try:
+        pmodel = to_device(build("pallas"))
+
+        @jax.jit
+        def _resp_err(a, b):
+            Ha = a.get_freq_response(fs=48000)
+            Hb = b.get_freq_response(fs=48000)
+            return (jnp.max(jnp.abs(Ha - Hb))
+                    / jnp.maximum(jnp.max(jnp.abs(Hb)), 1e-9))
+        if float(_resp_err(pmodel, model)) < 1e-3:
+            model = pmodel
+    except Exception:
+        pass
 
     def _perturb(mdl, c):
         return jax.tree_util.tree_map(

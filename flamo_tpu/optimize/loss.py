@@ -48,10 +48,15 @@ def stft_magnitude(x, n_fft: int, hop_length: int, win_length: int = None,
     a windowed-frame x DFT-kernel matmul (MXU work on TPU, exact f32)."""
     if win_length is None:
         win_length = n_fft
-    win = _hann(win_length, x.dtype)
+    # static host-side window: the respaced path folds it into the DFT
+    # kernel with numpy, which must not see a tracer (a jnp window here
+    # broke every JITTED mss call — regression-pinned in test_losses)
+    nw = np.arange(win_length, dtype=np.float64)
+    win_np = 0.5 * (1 - np.cos(2 * np.pi * nw / win_length))
     if win_length < n_fft:
         pad = (n_fft - win_length) // 2
-        win = jnp.pad(win, (pad, n_fft - win_length - pad))
+        win_np = np.pad(win_np, (pad, n_fft - win_length - pad))
+    win = jnp.asarray(win_np, dtype=x.dtype)
     if center:
         x = jnp.pad(x, ((0, 0), (n_fft // 2, n_fft // 2)), mode="reflect")
     T = x.shape[-1]
@@ -67,9 +72,8 @@ def stft_magnitude(x, n_fft: int, hop_length: int, win_length: int = None,
     scaling = (fmax - fmin) * (n_fft / sr) / freq_bins
     bins = start_bin + scaling * np.arange(freq_bins)
     ang = 2.0 * np.pi * bins[:, None] * np.arange(n_fft)[None, :] / n_fft
-    winn = np.asarray(win, dtype=np.float64)
-    wcos = jnp.asarray(np.cos(ang) * winn[None, :], dtype=x.dtype)
-    wsin = jnp.asarray(np.sin(ang) * winn[None, :], dtype=x.dtype)
+    wcos = jnp.asarray(np.cos(ang) * win_np[None, :], dtype=x.dtype)
+    wsin = jnp.asarray(np.sin(ang) * win_np[None, :], dtype=x.dtype)
     hp = jax.lax.Precision.HIGHEST
     re = jnp.einsum("btn,fn->bft", frames, wcos, precision=hp)
     im = jnp.einsum("btn,fn->bft", frames, wsin, precision=hp)

@@ -52,6 +52,28 @@ def test_losses_zero_at_identity(cls, kwargs):
     assert v == pytest.approx(0.0, abs=1e-4), cls.__name__
 
 
+def test_mss_losses_jittable():
+    """The perceptual losses must trace under jit — the Trainer always
+    jits its step.  Regression: the respaced-grid stft_magnitude built
+    its DFT kernel from a jnp window via np.asarray, which raised
+    TracerArrayConversionError on every JITTED mss call (broke e8_fdn,
+    2026-08-19); the window is static and now stays host-side numpy."""
+    import jax
+
+    x = _sig((1, 4096, 1), seed=3)
+    y = _sig((1, 4096, 1), seed=4)
+    for cls, kwargs in [(L.mss_loss, {"nfft": [256, 512]}),
+                        (L.mss_loss, {"nfft": [256],
+                                      "freq_grid": "rfft"}),
+                        (L.mel_mss_loss, {"nfft": [256, 512]})]:
+        loss = cls(**kwargs)
+        vj = float(jax.jit(lambda a, b: loss(a, b))(x, y))
+        ve = float(loss(x, y))
+        assert vj == pytest.approx(ve, rel=1e-6), cls.__name__
+        g = jax.jit(jax.grad(lambda a: loss(a, y)))(x)
+        assert bool(jax.numpy.isfinite(g).all()), cls.__name__
+
+
 def test_average_power_identity_and_positive():
     # needs >= 64 STFT frames for the 64x64 smoothing window (same
     # constraint as the reference's conv2d, loss.py:528-539)
