@@ -46,7 +46,9 @@ from flamo_tpu.parallel.dp import shard_map
 __all__ = ["bins_sharded_fused_loss", "make_bins_sharded_fused_step",
            "bins_sharded_attenuated_loss",
            "make_bins_sharded_attenuated_step",
-           "make_bins_sharded_aa_taps_step"]
+           "make_bins_sharded_aa_taps_step",
+           "seed_bins_sharded_fused_loss",
+           "make_seed_bins_sharded_fused_step"]
 
 
 def bins_sharded_fused_loss(model, X, t, mesh, axis_name: str = "bins",
@@ -270,5 +272,94 @@ def make_bins_sharded_fused_step(model, mesh, lr: float = 1e-3,
         loss, grads = jax.value_and_grad(loss_fn)(model)
         updates, opt_state = tx.update(grads, opt_state, model)
         return optax.apply_updates(model, updates), opt_state, loss
+
+    return step, opt_state
+
+
+def seed_bins_sharded_fused_loss(model, X, t, mesh,
+                                 seed_axis: str = "seed",
+                                 bins_axis: str = "bins",
+                                 pivot: bool = True,
+                                 sparsity_weight: float = 0.2):
+    """Per-seed colorless fused-step losses over a 2-D ``seed x bins``
+    mesh: ``model`` is a STACKED member pytree (leading seed dim on
+    every array leaf, as built by ``tree_map(stack, *members)``), the
+    member axis is sharded over ``mesh[seed_axis]`` and every member's
+    bin axis over ``mesh[bins_axis]``.
+
+    ONE ``shard_map`` over the full mesh: each device holds its
+    members' slice of the (S, Mp, N) delay diagonals and runs the fused
+    kernel per local member (``vmap`` of the Pallas call adds a grid
+    dim); the loss partial psums over ``bins_axis`` only — members are
+    independent, so nothing crosses ``seed_axis`` and the gradient
+    transposition inserts the replicated-operand psums per member.
+    Returns the (S,) per-member losses (mse + sparsity, lockstep with
+    :func:`models.colorless_fdn.colorless_loss_fused_step` per member
+    up to f32 reduction order)."""
+    from flamo_tpu.models.colorless_fdn import (_SPARSITY,
+                                                extract_siso_tf_operands)
+    from flamo_tpu.ops.pallas_solve import pallas_fdn_tf_mse
+
+    nb = mesh.shape[bins_axis]
+    D, U, b, c = jax.vmap(extract_siso_tf_operands)(model)
+    M = D.shape[1]
+    Mp = ((M + nb - 1) // nb) * nb
+    pad = Mp - M
+    if pad:
+        D = jnp.pad(D, ((0, 0), (0, pad), (0, 0)))
+        X = jnp.pad(X, (0, pad))
+        t = jnp.pad(t, (0, pad))
+
+    def shard_fn(D, X, t, U, b, c):
+        def one(Di, Ui, bi, ci):
+            part = pallas_fdn_tf_mse(Di, Ui, bi, ci, X, t,
+                                     with_dbar=False, pivot=pivot)
+            return jax.lax.psum(part * Di.shape[0], bins_axis) / M
+
+        return jax.vmap(one)(D, U, b, c)
+
+    mse = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(seed_axis, bins_axis, None), P(bins_axis),
+                  P(bins_axis), P(seed_axis, None, None),
+                  P(seed_axis, None), P(seed_axis, None)),
+        out_specs=P(seed_axis), check_vma=False,
+    )(D, X, t, U, b, c)
+    sp = jax.vmap(lambda m: _SPARSITY(None, None, m))(model)
+    return mse + sparsity_weight * sp
+
+
+def make_seed_bins_sharded_fused_step(model, mesh, lr: float = 1e-3,
+                                      seed_axis: str = "seed",
+                                      bins_axis: str = "bins",
+                                      pivot: bool = True):
+    """Build ``(jittable_step, opt_state)`` for vmapped multi-seed
+    colorless training through the fused step kernel on a 2-D
+    ``seed x bins`` mesh (:func:`seed_bins_sharded_fused_loss`).
+
+    ``model`` is the stacked member pytree; the optimizer is the masked
+    Adam vmapped per member (member parameters and moments live on
+    their seed row, replicated over ``bins``).  The grad of the SUMMED
+    per-member losses gives each member its own independent gradient.
+    ``step(model, opt_state, inputs, targets)`` takes the canonical
+    (1, T, 1) impulse / (1, M, 1) target shapes and returns the (S,)
+    per-member loss vector."""
+    tx = masked_optimizer(optax.adam(lr), model)
+    opt_state = jax.vmap(tx.init)(model)
+    nfft = model.nfft
+
+    def step(m, o, x, t):
+        X = jnp.fft.rfft(x[0, :, 0], n=nfft)
+
+        def loss_fn(mm):
+            losses = seed_bins_sharded_fused_loss(
+                mm, X, t[0, :, 0], mesh, seed_axis=seed_axis,
+                bins_axis=bins_axis, pivot=pivot)
+            return jnp.sum(losses), losses
+
+        (_, losses), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(m)
+        updates, o = jax.vmap(tx.update)(grads, o, m)
+        return optax.apply_updates(m, updates), o, losses
 
     return step, opt_state

@@ -28,6 +28,20 @@ def get_mesh(n_devices: Optional[int] = None, axis_name: str = "bins") -> Mesh:
     return Mesh(np.array(devices[:n_devices]), axis_names=(axis_name,))
 
 
+def get_mesh_2d(n_seed: int, n_bins: int,
+                axis_names=("seed", "bins")) -> Mesh:
+    """2-D ``n_seed x n_bins`` device mesh (multi-seed data parallelism
+    over the first axis, per-member bin sharding over the second — the
+    framework's 2-D scaling layout, SURVEY.md par.5)."""
+    devices = jax.devices()
+    need = n_seed * n_bins
+    assert len(devices) >= need, (
+        f"need {need} devices for a {n_seed}x{n_bins} mesh, "
+        f"have {len(devices)}")
+    return Mesh(np.array(devices[:need]).reshape(n_seed, n_bins),
+                axis_names=tuple(axis_names))
+
+
 def shard_spectrum(x, mesh: Mesh, axis_name: str = "bins"):
     """Constrain a (B, M, N, ...) spectrum to be sharded along the bin axis.
 

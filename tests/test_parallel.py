@@ -393,3 +393,53 @@ def test_bins_sharded_aa_taps_step_matches_unsharded():
         if a.dtype.kind == "f":
             scale = max(1e-12, np.abs(b).max())
             assert np.abs(a - b).max() / scale < 1e-4
+
+
+@pytest.mark.slow
+def test_seed_bins_sharded_fused_step_matches_unsharded():
+    """Vmapped multi-seed training through the fused step kernel on a
+    2-D seed x bins mesh (one shard_map over the full mesh, vmap of the
+    Pallas call per local member, interpret mode) is lockstep with each
+    member's unsharded fused loss+Adam step."""
+    import optax
+
+    import flamo_tpu
+    from flamo_tpu.core import masked_optimizer
+    from flamo_tpu.models import build_colorless_fdn
+    from flamo_tpu.models.colorless_fdn import colorless_loss_fused_step
+    from flamo_tpu.parallel import (get_mesh_2d,
+                                    make_seed_bins_sharded_fused_step)
+
+    flamo_tpu.set_seed(21)
+    nfft = 2048
+    delays = (13, 17, 19, 23, 29, 31)
+    keys = jax.random.split(jax.random.PRNGKey(3), 2)
+    members = [build_colorless_fdn(nfft=nfft, delays=delays, key=k)
+               for k in keys]
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *members)
+    M = nfft // 2 + 1
+    x = jnp.zeros((1, nfft, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, 1))
+
+    mesh = get_mesh_2d(2, 4)
+    step, opt = make_seed_bins_sharded_fused_step(stacked, mesh,
+                                                  lr=1e-3)
+    m_sh, o_sh, losses = jax.jit(step)(stacked, opt, x, t)
+    assert losses.shape == (2,)
+
+    for i, mem in enumerate(members):
+        tx = masked_optimizer(optax.adam(1e-3), mem)
+        o0 = tx.init(mem)
+        loss_ref, g = jax.jit(jax.value_and_grad(
+            lambda m: colorless_loss_fused_step(m, x, t)))(mem)
+        up, _ = tx.update(g, o0, mem)
+        m_ref = optax.apply_updates(mem, up)
+        assert abs(float(losses[i]) - float(loss_ref)) / abs(
+            float(loss_ref)) < 1e-5
+        for a, b in zip(jax.tree_util.tree_leaves(m_sh),
+                        jax.tree_util.tree_leaves(m_ref)):
+            a, b = np.asarray(a), np.asarray(b)
+            if a.dtype.kind != "f":
+                continue
+            scale = max(1e-12, np.abs(b).max())
+            assert np.abs(a[i] - b).max() / scale < 1e-5
