@@ -1,5 +1,6 @@
 from flamo_tpu.models.colorless_fdn import (
-    build_colorless_fdn, colorless_loss, colorless_loss_fused_tf,
+    build_colorless_fdn, colorless_fit, colorless_loss,
+    colorless_loss_fused_step, colorless_loss_fused_tf,
     colorless_train_step, extract_siso_tf_operands,
 )
 from flamo_tpu.models.attenuated_fdn import (

@@ -172,6 +172,53 @@ def colorless_loss_fused_step(model, inputs, targets,
     return mse + sparsity_weight * _SPARSITY(None, None, model)
 
 
+def colorless_fit(model, n_steps: int, lr: float = 1e-3,
+                  fused_step: bool = True, step_pivot: bool = False,
+                  steps_per_call: int = 400):
+    """Run the colorless objective end to end through the fused step
+    kernel: build :func:`colorless_train_step`, jit a ``lax.scan`` of
+    <= ``steps_per_call`` optimizer steps per dispatch, and run
+    ``n_steps`` of them on the canonical impulse -> flat-magnitude pair
+    (exact for the reference's ``DatasetColorless`` expand semantics,
+    reference optimize/dataset.py:54-85).  Returns
+    ``(trained model, per-step loss history)``.
+
+    This is the paved-road entry the e8 colorless example uses on
+    accelerators (``--fast auto``; ~19k steps/s on the tunnel via the
+    no-pivot fused step kernel, BENCH.md) — same pattern as
+    :func:`flamo_tpu.models.aa_evs_fit`.  Callers gate it on loss
+    parity with the graph criterion and fall back to the Trainer."""
+    import numpy as np
+
+    from flamo_tpu.utils import to_device
+
+    step, opt_state = colorless_train_step(
+        model, lr=lr, fused_step=fused_step, step_pivot=step_pivot)
+    M = model.nfft // 2 + 1
+    inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    targets = jnp.ones((1, M, 1))
+    m, o, x, t = to_device((model, opt_state, inputs, targets))
+
+    def multi(m, o, x, t, k):
+        def body(carry, _):
+            mm, oo = carry
+            mm, oo, loss = step(mm, oo, x, t)
+            return (mm, oo), loss
+
+        (m, o), losses = jax.lax.scan(body, (m, o), None, length=k)
+        return m, o, losses
+
+    jm = jax.jit(multi, static_argnums=(4,), donate_argnums=(0, 1))
+    history = []
+    done = 0
+    while done < n_steps:
+        k = min(steps_per_call, n_steps - done)
+        m, o, losses = jm(m, o, x, t, k)
+        history.append(np.asarray(losses))
+        done += k
+    return m, np.concatenate(history)
+
+
 def colorless_train_step(model, lr: float = 1e-3, fused_tf: bool = False,
                          fused_step: bool = False,
                          step_pivot: bool = True):
