@@ -230,7 +230,12 @@ class Trainer:
 
         This is exact for the reference's ``Dataset.expand`` training
         semantics (one pair repeated, dataset.py:28-51) and amortizes
-        host->device dispatch.  Returns the per-step loss history."""
+        host->device dispatch.  Returns the per-step loss history.
+
+        ``n_steps`` is rounded to whole ``steps_per_call`` chunks (at
+        least one) so every dispatch reuses the single compiled scan
+        length — pass a multiple of ``steps_per_call`` for an exact
+        step count."""
         import numpy as np
 
         if self._jitted_step is None:
