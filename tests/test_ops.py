@@ -561,6 +561,30 @@ def test_colorless_fused_step_loss_matches(pallas_interpret):
 
 
 @pytest.mark.slow
+def test_colorless_fit_paved_road(pallas_interpret):
+    """models.colorless_fit (the e8 example's --fast path) trains through
+    the fused no-pivot step kernel and decreases the objective, matching
+    the first graph-criterion loss at init."""
+    import flamo_tpu
+    from flamo_tpu.models import (build_colorless_fdn, colorless_fit,
+                                  colorless_loss)
+
+    flamo_tpu.set_seed(12)
+    m = build_colorless_fdn(nfft=512, delays=(89, 97, 107, 113))
+    M = 512 // 2 + 1
+    x = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, 1))
+    graph0 = float(jax.jit(colorless_loss)(m, x, t))
+    trained, hist = colorless_fit(m, n_steps=6, lr=1e-2, steps_per_call=3)
+    assert hist.shape == (6,)
+    assert abs(float(hist[0]) - graph0) / abs(graph0) < 1e-4
+    assert float(hist[-1]) < float(hist[0])
+    # the trained model is a valid pytree of the same structure
+    assert (jax.tree_util.tree_structure(trained)
+            == jax.tree_util.tree_structure(m))
+
+
+@pytest.mark.slow
 def test_pallas_fdn_sos_tf_mse(pallas_interpret):
     """Fused attenuated-FDN step kernel: loss value and ALL cotangents
     (taps, U, b, c, D) vs the dense XLA formula, both pivot modes."""
