@@ -1,12 +1,12 @@
 """Smoke-run every example headlessly (reference examples/run_all.py).
 
-``--full`` instead runs the two realistic reference workloads at the
-REFERENCE's shapes (e8_fdn at nfft=96000; active acoustics at 4 mics x
-13 loudspeakers, RIR 15000, FIR order 100, nfft=96000) on the default
-device (intended: the TPU) and reports wall-clock — the end-to-end gate
-that the framework holds up beyond the bench's colorless step.  Each
-example's own assertions (finite + decreasing losses, finite GBI/
-eigenvalues) are the pass criteria."""
+``--full`` instead runs the three realistic reference workloads at the
+REFERENCE's shapes (the colorless flagship and e8_fdn at nfft=96000;
+active acoustics at 4 mics x 13 loudspeakers, RIR 15000, FIR order 100,
+nfft=96000) on the default device (intended: the TPU) and reports
+wall-clock — the end-to-end gate that the framework holds up beyond the
+bench's isolated step timings.  Each example's own assertions (finite +
+decreasing losses, finite GBI/eigenvalues) are the pass criteria."""
 
 import argparse
 import os
@@ -16,12 +16,16 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
-# (script, extra CLI args) at the reference's workload shapes.  Both
-# jobs run their gated fast paths by default (e8_fdn: fused Pallas
-# cascade+solve kernels + whole-epoch scan; active acoustics: the fused
-# lanes-major evs training step) and fall back to the XLA graph paths
-# if the parity gates fail on the attached backend.
+# (script, extra CLI args) at the reference's workload shapes.  All
+# three jobs run their gated fast paths by default (colorless: the
+# fused no-pivot step kernel; e8_fdn: fused Pallas cascade+solve
+# kernels + whole-epoch scan; active acoustics: the fused lanes-major
+# evs training step) and fall back to the XLA graph paths if the
+# parity gates fail on the attached backend.
 FULL_JOBS = [
+    ("e8_colorless_fdn.py",
+     ["--nfft", "96000", "--max_epochs", "5", "--num", "32",
+      "--batch_size", "1"]),
     ("e8_fdn.py",
      ["--nfft", "96000", "--scenario", "fdn", "--max_epochs", "3",
       "--num", "8", "--batch_size", "1"]),
