@@ -51,7 +51,12 @@ def _interpret() -> bool:
     if jax.default_backend() == "cpu":
         return True
     dd = jax.config.jax_default_device
-    return dd is not None and dd.platform == "cpu"
+    if dd is None:
+        return False
+    # jax_default_device accepts a Device object OR a platform string
+    # (jax.config.update('jax_default_device', 'cpu'))
+    platform = dd if isinstance(dd, str) else dd.platform
+    return platform == "cpu"
 
 
 # ---------------------------------------------------------------------------

@@ -230,8 +230,17 @@ def _right_eigvecs(A, lam, iters: int = 2):
     ``~(perturbation / spectral gap)``, so simple well-separated spectra
     get eigenvectors to ~f32 accuracy.  Returns V with columns
     ``V[..., :, k] = v_k``.
+
+    Memory: the shifted-matrix stack is O(B * N^3) complex operands
+    (every eigenvalue gets its own (N, N) system) — at N = 64 with a
+    1600-bin batch that is ~6.7 GB, so large-N batches should be
+    chunked by the caller.  N <= 32 uses the statically-unrolled
+    pivoted :func:`gauss_solve` (fastest on TPU); larger N routes
+    through :func:`gauss_solve_loop` (O(1) compiled statements — the
+    unrolled elimination's O(N^2) HLO is compile-hostile past N = 32,
+    CLAUDE.md).
     """
-    from flamo_tpu.ops.solve import gauss_solve
+    from flamo_tpu.ops.solve import gauss_solve, gauss_solve_loop
 
     B, N, _ = A.shape
     eye = jnp.eye(N, dtype=A.dtype)
@@ -243,8 +252,9 @@ def _right_eigvecs(A, lam, iters: int = 2):
     b0 = (jnp.cos(ang) + 1j * jnp.sin(0.5 * ang + 0.25)).astype(A.dtype)
     b0 = b0 / jnp.linalg.norm(b0).astype(A.dtype)
     x = jnp.broadcast_to(b0, (B, N, N))
+    solve = gauss_solve if N <= 32 else gauss_solve_loop
     for _ in range(iters):
-        x = gauss_solve(Ms, x)  # vector rhs per (B, N) shift
+        x = solve(Ms, x)  # vector rhs per (B, N) shift
         nrm = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=-1, keepdims=True))
         x = x / jnp.maximum(nrm, 1e-30).astype(x.dtype)
     return jnp.swapaxes(x, -1, -2)

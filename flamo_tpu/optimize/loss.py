@@ -336,7 +336,11 @@ class _mss_base:
         self.p = p
         self.log_term = log_term
         self.alpha = alpha
-        self.noise_energy = noise_energy
+        # falsy (None/0.0) means "estimate from the target" — the
+        # reference's `if not self.noise_energy` check has the same
+        # semantics (reference loss.py:272-283); accepting a literal 0.0
+        # would feed log10(0) in the SNR mask
+        self.noise_energy = noise_energy if noise_energy else None
 
     def _prep(self, y_pred, y_true):
         if y_pred.ndim == 1:
@@ -361,7 +365,15 @@ class _mss_base:
         energy is estimated from the FIRST scale's spectrogram and
         REUSED for the remaining FFT sizes — matching the reference,
         which caches ``self.noise_energy`` on first use
-        (reference loss.py:272-283, 425-436)."""
+        (reference loss.py:272-283, 425-436).
+
+        Deliberate jit-compatible deviation: the reference caches the
+        first batch's estimate as module state ACROSS calls; here the
+        estimate is recomputed per __call__ (stateful caching would bake
+        a traced value).  With the fixed-target training sets every
+        in-tree workload uses, the two are identical; with varying
+        targets this mask tracks the current batch instead of the first
+        one."""
         if not self.apply_mask:
             return (jnp.ones_like(Y_true_lin),
                     float(np.prod(Y_true_lin.shape)), noise_energy)

@@ -232,38 +232,45 @@ class Trainer:
         semantics (one pair repeated, dataset.py:28-51) and amortizes
         host->device dispatch.  Returns the per-step loss history.
 
-        ``n_steps`` is rounded to whole ``steps_per_call`` chunks (at
-        least one) so every dispatch reuses the single compiled scan
-        length — pass a multiple of ``steps_per_call`` for an exact
-        step count."""
+        Runs EXACTLY ``n_steps`` steps: whole ``steps_per_call`` chunks
+        reuse one compiled scan length, and any remainder runs as a
+        second (smaller, separately cached) scan length — so
+        ``n_steps=160, steps_per_call=50`` trains 160 steps (3x50 + 10),
+        matching the reference's step-count semantics."""
         import numpy as np
 
         if self._jitted_step is None:
             self._build_step(1)
         if not hasattr(self, "_scan_cache"):
             self._scan_cache = {}
-        if steps_per_call not in self._scan_cache:
-            def multi(model, opt_state, inputs, targets, step0, loss_state):
-                def body(carry, i):
-                    m, o = carry
-                    m, o, total, per = self._raw_step(m, o, inputs, targets,
-                                                      step0 + i, loss_state)
-                    return (m, o), total
 
-                (model, opt_state), losses = jax.lax.scan(
-                    body, (model, opt_state), jnp.arange(steps_per_call))
-                return model, opt_state, losses
+        def _jmulti(length):
+            if length not in self._scan_cache:
+                def multi(model, opt_state, inputs, targets, step0,
+                          loss_state):
+                    def body(carry, i):
+                        m, o = carry
+                        m, o, total, per = self._raw_step(
+                            m, o, inputs, targets, step0 + i, loss_state)
+                        return (m, o), total
 
-            self._scan_cache[steps_per_call] = jax.jit(
-                multi, donate_argnums=(0, 1))
-        jmulti = self._scan_cache[steps_per_call]
+                    (model, opt_state), losses = jax.lax.scan(
+                        body, (model, opt_state), jnp.arange(length))
+                    return model, opt_state, losses
+
+                self._scan_cache[length] = jax.jit(
+                    multi, donate_argnums=(0, 1))
+            return self._scan_cache[length]
+
         history = []
-        n_calls = max(1, n_steps // steps_per_call)
-        for _ in range(n_calls):
-            self.net, self._opt_state, losses = jmulti(
+        done = 0
+        while done < n_steps:
+            k = min(steps_per_call, n_steps - done)
+            self.net, self._opt_state, losses = _jmulti(k)(
                 self.net, self._opt_state, inputs, targets,
                 jnp.asarray(self._step_count), self._gather_loss_state())
-            self._step_count += steps_per_call
+            self._step_count += k
+            done += k
             history.append(np.asarray(losses))
         return np.concatenate(history)
 

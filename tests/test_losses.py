@@ -204,3 +204,21 @@ def test_mse_evs_matches_manual_eig():
                                  state=crit.mask_indices))(jnp.asarray(y))
     assert np.isfinite(np.asarray(g)).all()
     assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_mss_zero_noise_energy_falsy():
+    """A user-supplied noise_energy=0.0 must behave like None (estimate
+    from the target) — the reference's falsy check; a literal 0.0 would
+    feed log10(0) into the SNR mask (ADVICE r4)."""
+    import jax.numpy as jnp
+    import flamo_tpu.optimize.loss as L
+
+    rng = np.random.default_rng(0)
+    y = jnp.asarray(rng.standard_normal((1, 2048, 1)).astype(np.float32))
+    t = jnp.asarray(rng.standard_normal((1, 2048, 1)).astype(np.float32))
+    crit0 = L.mss_loss(nfft=[256], apply_mask=True, noise_energy=0.0)
+    critn = L.mss_loss(nfft=[256], apply_mask=True, noise_energy=None)
+    v0 = float(crit0(y, t))
+    vn = float(critn(y, t))
+    assert np.isfinite(v0)
+    assert v0 == vn

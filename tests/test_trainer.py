@@ -113,6 +113,23 @@ def test_fit_scan_fast_path(tmp_path):
     assert history2[-1] <= history[-1] * 1.2
 
 
+def test_fit_scan_exact_step_count():
+    """fit_scan must run EXACTLY n_steps (ADVICE r4: the old rounding
+    silently dropped the remainder — 160 steps at steps_per_call=50
+    trained only 150)."""
+    flamo_tpu.set_seed(130709)
+    model = build_colorless_fdn(nfft=NFFT, delays=DELAYS)
+    trainer = Trainer(model, lr=1e-2, log=False)
+    trainer.register_criterion(mse_loss(nfft=NFFT), 1)
+    M = NFFT // 2 + 1
+    inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    targets = jnp.ones((1, M, 1))
+    history = trainer.fit_scan(inputs, targets, n_steps=13,
+                               steps_per_call=5)
+    assert history.shape == (13,)
+    assert trainer._step_count == 13
+
+
 @pytest.mark.slow
 def test_fit_scan_epochs_matches_sequential(tmp_path):
     """Fused multi-batch epoch must be numerically lockstep with the
