@@ -109,6 +109,32 @@ def extract_siso_tf_operands(model):
     return D, U, b, c
 
 
+def colorless_freq_response_fused(model):
+    """``Shell.get_freq_response`` for the canonical SISO FDN shape
+    through :func:`ops.pallas_solve.pallas_fdn_tf` (reference
+    system.py:1081-1153 — the secondary BASELINE metric).
+
+    The graph path drives an impulse through the module graph: per bin
+    it assembles (I - diag(D) U), solves against the (M, N) rhs, applies
+    both gain projections, then undoes the alias envelope with an
+    irfft -> gamma^{-n} -> rfft round trip.  Here the assemble + solve +
+    projections collapse into ONE Pallas grid pass over bins (the (M, N)
+    rhs/solution never exist in HBM); only the alias-undo round trip
+    stays in XLA, because its time-domain envelope multiply is what
+    defines the reference's semantics (re-sampling the off-circle
+    response back onto the unit circle, aliasing residual included).
+
+    Returns (1, M, 1) complex, same as ``model.get_freq_response()``."""
+    from flamo_tpu.ops.pallas_solve import pallas_fdn_tf
+    from flamo_tpu.processor.dsp import _alias_envelope
+
+    tf = pallas_fdn_tf(*extract_siso_tf_operands(model))
+    env = _alias_envelope(model.nfft, float(model.alias_decay_db),
+                          jnp.real(tf).dtype)
+    h = jnp.fft.irfft(tf, n=model.nfft) * env
+    return jnp.fft.rfft(h, n=model.nfft)[None, :, None]
+
+
 def colorless_loss_fused_tf(model, inputs, targets,
                             sparsity_weight: float = 0.2):
     """colorless_loss through :func:`ops.pallas_solve.pallas_fdn_tf`.

@@ -482,6 +482,25 @@ def test_colorless_fused_tf_loss_matches(pallas_interpret):
         assert d / s < 5e-3
 
 
+@pytest.mark.slow
+def test_colorless_freq_response_fused_parity(pallas_interpret):
+    """Fused secondary-metric eval == Shell.get_freq_response (reference
+    system.py:1081-1153): one tf kernel pass + the alias-undo round trip
+    must reproduce the graph path bin for bin."""
+    import flamo_tpu
+    from flamo_tpu.models import build_colorless_fdn
+    from flamo_tpu.models.colorless_fdn import colorless_freq_response_fused
+
+    flamo_tpu.set_seed(13)
+    m = build_colorless_fdn(nfft=512, delays=(89, 97, 107, 113))
+    H_graph = m.get_freq_response(fs=48000)
+    H_fused = jax.jit(colorless_freq_response_fused)(m)
+    assert H_fused.shape == H_graph.shape
+    rel = float(jnp.abs(H_fused - H_graph).max()
+                / jnp.abs(H_graph).max())
+    assert rel < 1e-5
+
+
 def test_pallas_fdn_tf_mse(pallas_interpret):
     """Fused step kernel: loss value AND all four cotangents vs the dense
     formula; with_dbar=False zeroes only the D cotangent."""
