@@ -26,6 +26,9 @@ FULL_JOBS = [
     ("e8_colorless_fdn.py",
      ["--nfft", "96000", "--max_epochs", "5", "--num", "32",
       "--batch_size", "1"]),
+    ("e8_colorless_sfdn.py",
+     ["--nfft", "96000", "--max_epochs", "3", "--num", "24",
+      "--batch_size", "1"]),
     ("e8_fdn.py",
      ["--nfft", "96000", "--scenario", "fdn", "--max_epochs", "3",
       "--num", "8", "--batch_size", "1"]),

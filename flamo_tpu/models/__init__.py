@@ -1,7 +1,10 @@
 from flamo_tpu.models.colorless_fdn import (
-    build_colorless_fdn, colorless_fit, colorless_loss,
-    colorless_loss_fused_step, colorless_loss_fused_tf,
+    build_colorless_fdn, colorless_fit, colorless_freq_response_fused,
+    colorless_loss, colorless_loss_fused_step, colorless_loss_fused_tf,
     colorless_train_step, extract_siso_tf_operands,
+)
+from flamo_tpu.models.scattering_fdn import (
+    build_colorless_sfdn, sfdn_fit, sfdn_train_step,
 )
 from flamo_tpu.models.attenuated_fdn import (
     attenuated_loss, attenuated_loss_fused_step, attenuated_train_step,
