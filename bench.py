@@ -19,6 +19,7 @@ import time
 
 NFFT = 96000
 DELAYS = (887, 911, 941, 1699, 1951, 2053)
+SFDN_DELAYS = (997, 1153, 1327, 1559, 1801, 2099)
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "bench_baseline.json")
 COMPILE_CACHE = "/tmp/flamo_tpu_jax_cache"
@@ -144,32 +145,65 @@ def measure_jax_evals_per_sec(k: int = 200, n_calls: int = 2):
     from flamo_tpu.models import build_colorless_fdn
     from flamo_tpu.utils import host_eager
 
-    def build(solve_method):
+    def build(solve_method, cache_delays=False):
         flamo_tpu.set_seed(130709)
         with host_eager():
             return build_colorless_fdn(nfft=NFFT, delays=DELAYS,
+                                       cache_delays=cache_delays,
                                        solve_method=solve_method)
 
     from flamo_tpu.utils import to_device
 
-    model = to_device(build("ge"))
-    # gated faster rung: the in-graph fused Pallas solve
-    # (``solve_method='pallas'`` — a plain library option, same module
-    # graph).  Response-parity-checked against the pivoted XLA solve;
-    # any failure falls back to the XLA model.
+    # cache_delays (the train bench's default): the frozen (M, N) delay
+    # phasor is a stored leaf instead of being recomputed per eval —
+    # profiled at 143 us/eval of the 327 us fused eval (trig-heavy).
+    # Falls back to the uncached build if the backend rejects the
+    # carried re/im leaves (CLAUDE.md tunnel flake).
     try:
-        pmodel = to_device(build("pallas"))
+        model = to_device(build("ge", cache_delays=True))
+        jax.block_until_ready(
+            jax.jit(lambda m: m.get_freq_response(fs=48000))(model))
+    except Exception:
+        model = to_device(build("ge"))
+    resp_fn = lambda mdl: mdl.get_freq_response(fs=48000)  # noqa: E731
+    # top rung: the fused transfer-function eval — ONE Pallas pass for
+    # assemble + solve + both projections, only the alias-undo
+    # irfft/env/rfft round trip left in XLA.  Parity-gated against the
+    # graph path (same gate the train ladder uses); any failure falls
+    # through to the in-graph rungs.
+    fused_ok = False
+    try:
+        from flamo_tpu.models import colorless_freq_response_fused
 
         @jax.jit
-        def _resp_err(a, b):
-            Ha = a.get_freq_response(fs=48000)
-            Hb = b.get_freq_response(fs=48000)
-            return (jnp.max(jnp.abs(Ha - Hb))
-                    / jnp.maximum(jnp.max(jnp.abs(Hb)), 1e-9))
-        if float(_resp_err(pmodel, model)) < 1e-3:
-            model = pmodel
+        def _fused_err(mdl):
+            Hf = colorless_freq_response_fused(mdl)
+            Hg = mdl.get_freq_response(fs=48000)
+            return (jnp.max(jnp.abs(Hf - Hg))
+                    / jnp.maximum(jnp.max(jnp.abs(Hg)), 1e-9))
+        if float(_fused_err(model)) < 1e-3:
+            resp_fn = colorless_freq_response_fused
+            fused_ok = True
     except Exception:
         pass
+    if not fused_ok:
+        # gated fallback rung: the in-graph fused Pallas solve
+        # (``solve_method='pallas'`` — a plain library option, same
+        # module graph).  Response-parity-checked against the pivoted
+        # XLA solve; any failure falls back to the XLA model.
+        try:
+            pmodel = to_device(build("pallas"))
+
+            @jax.jit
+            def _resp_err(a, b):
+                Ha = a.get_freq_response(fs=48000)
+                Hb = b.get_freq_response(fs=48000)
+                return (jnp.max(jnp.abs(Ha - Hb))
+                        / jnp.maximum(jnp.max(jnp.abs(Hb)), 1e-9))
+            if float(_resp_err(pmodel, model)) < 1e-3:
+                model = pmodel
+        except Exception:
+            pass
 
     def _perturb(mdl, c):
         return jax.tree_util.tree_map(
@@ -180,7 +214,7 @@ def measure_jax_evals_per_sec(k: int = 200, n_calls: int = 2):
     @jax.jit
     def eval_many(mdl):
         def body(c, _):
-            H = _perturb(mdl, c).get_freq_response(fs=48000)
+            H = resp_fn(_perturb(mdl, c))
             return jnp.max(jnp.abs(H)) * 1e-30, None
 
         s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k)
@@ -345,6 +379,152 @@ def measure_attenuated_fdn_steps_per_sec(k: int = 400, n_calls: int = 2,
     return n_calls * k / (time.perf_counter() - t0), fl
 
 
+def measure_sfdn_steps_per_sec(k: int = 200, n_calls: int = 2,
+                               solve_method: str = "ge_cached"):
+    """Fourth workload family: the scattering FDN (reference
+    examples/e8_colorless_sfdn.py:29-152) — N=6, delays 997..2099,
+    paraunitary ScatteringMatrix feedback, masked_mse(2000-bin random
+    partitions, regenerated in-graph) + 0.2 * sparsity.
+
+    Unlike the flagship colorless FDN (diag x flat loop, fused step
+    kernel), the feedback response here is a FULL (M, N, N) complex
+    matrix per bin, so the closed loop is a genuine frequency-dependent
+    batched solve — this measures the generic solve ladder on that
+    shape.  Returns (steps/s, final loss) for the caller's gate."""
+    import jax
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.models import build_colorless_sfdn
+    from flamo_tpu.models.scattering_fdn import sfdn_train_step
+    from flamo_tpu.utils import host_eager, to_device
+
+    flamo_tpu.set_seed(130709)
+    with host_eager():
+        model = build_colorless_sfdn(nfft=NFFT, delays=SFDN_DELAYS,
+                                     solve_method=solve_method)
+        step, opt_state = sfdn_train_step(model)
+        M = NFFT // 2 + 1
+        inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+        targets = jnp.ones((1, M, 1))
+    m, o, x, t = to_device((model, opt_state, inputs, targets))
+
+    def multi(m, o, i0):
+        def body(carry, i):
+            mm, oo = carry
+            mm, oo, loss = step(mm, oo, x, t, i0 + i)
+            return (mm, oo), loss
+
+        (m, o), losses = jax.lax.scan(body, (m, o), jnp.arange(k))
+        return m, o, losses[-1]
+
+    jm = jax.jit(multi, donate_argnums=(0, 1))
+    m, o, loss = jm(m, o, jnp.asarray(0))
+    jax.block_until_ready(loss)
+    t0 = time.perf_counter()
+    for c in range(n_calls):
+        m, o, loss = jm(m, o, jnp.asarray((c + 1) * k))
+    fl = float(loss)
+    return n_calls * k / (time.perf_counter() - t0), fl
+
+
+def measure_torch_sfdn_baseline(n_steps: int = 3):
+    """Reference side of the scattering-FDN metric: an independent
+    eager-torch-CPU implementation of the identical training step
+    (reference e8_colorless_sfdn.py math: 4 orthogonal stages ->
+    paraunitary FIR cascade with static sparsity shifts -> rfft to the
+    (M, N, N) feedback response; per-bin closed-loop solve; masked MSE
+    over a random 2000-bin partition + 0.2 * sparsity; Adam).  Uses
+    efficient torch ops (einsum stage products, batched solve) — no
+    strawman triple conv1d loop."""
+    import numpy as np
+    import torch
+
+    torch.manual_seed(130709)
+    N = len(SFDN_DELAYS)
+    M = NFFT // 2 + 1
+    n_stages, sparsity = 3, 3
+    delays = torch.tensor(SFDN_DELAYS, dtype=torch.float32)
+    rng = np.random.default_rng(130709)
+    # static non-overlapping shifts (reference scattering.py:225-240)
+    sparsity_vect = np.ones(n_stages)
+    sparsity_vect[0] = sparsity
+    shifts = np.zeros((n_stages, N), dtype=np.int64)
+    ps = 1.0
+    for s in range(n_stages):
+        shifts[s] = (np.floor(sparsity_vect[s]
+                              * (np.arange(N) + rng.uniform(size=N) * 0.99))
+                     * ps).astype(np.int64)
+        ps = ps * N * sparsity_vect[s]
+    m_hi = int(min(SFDN_DELAYS)) // 2
+    m_L = rng.integers(1, m_hi, N)
+    m_R = rng.integers(1, m_hi, N)
+
+    W = torch.randn(n_stages + 1, N, N, requires_grad=True)
+    input_gain = torch.randn(N, 1, requires_grad=True)
+    output_gain = torch.randn(1, N, requires_grad=True)
+    gamma = 10 ** (-30.0 / NFFT / 20)
+    omega = 2 * torch.pi * torch.arange(M) / NFFT
+    x = torch.zeros(1, M, 1)
+    x[:, 0, :] = 1.0
+    target = torch.ones(1, M, 1)
+    opt = torch.optim.Adam([W, input_gain, output_gain], lr=1e-3)
+
+    def shift_rows(V, sh):
+        # V (N, N, t): delay row i by sh[i] samples (zero-padded)
+        extra = int(max(sh))
+        if extra > 0:
+            V = torch.nn.functional.pad(V, (0, extra))
+        return torch.stack([torch.roll(V[i], int(sh[i]), dims=-1)
+                            for i in range(V.shape[0])], dim=0)
+
+    def shift_cols(V, sh):
+        extra = int(max(sh))
+        if extra > 0:
+            V = torch.nn.functional.pad(V, (0, extra))
+        return torch.stack([torch.roll(V[:, j], int(sh[j]), dims=-1)
+                            for j in range(V.shape[1])], dim=1)
+
+    def step(i):
+        opt.zero_grad()
+        U = torch.matrix_exp(torch.triu(W, 1) - torch.triu(W, 1).mT)
+        V = U[0][:, :, None]
+        for s in range(n_stages):
+            V = shift_rows(V, shifts[s])
+            V = torch.einsum("ik,kjt->ijt", U[s + 1], V)
+        V = shift_rows(V, m_L)
+        V = shift_cols(V, m_R)
+        taps = V.permute(2, 0, 1)  # (T', N, N)
+        env = gamma ** torch.arange(taps.shape[0], dtype=torch.float32)
+        Hfb = torch.fft.rfft(taps * env[:, None, None], n=NFFT, dim=0)
+        X = torch.fft.rfft(x, n=NFFT, dim=1)
+        D = (gamma ** delays)[None, :] * torch.exp(
+            -1j * omega[:, None] * delays[None, :])
+        I = torch.eye(N, dtype=torch.complex64).expand(M, N, N)
+        A = I - D[:, :, None] * Hfb
+        u_in = input_gain.to(torch.complex64) @ X.permute(1, 2, 0)
+        B = D[:, :, None] * u_in
+        y = torch.linalg.solve(A, B)
+        out = (output_gain.to(torch.complex64) @ y).permute(2, 0, 1)
+        est = torch.abs(out)
+        mask = torch.from_numpy(
+            rng.permutation(M)[:2000].astype(np.int64))
+        mse = torch.mean((est.sum(-1)[:, mask]
+                          - target.squeeze(-1)[:, mask]) ** 2)
+        sp = torch.mean(
+            (torch.sum(torch.abs(U), dim=(-2, -1)) - N * np.sqrt(N))
+            / (N * (1 - np.sqrt(N))))
+        loss = mse + 0.2 * sp
+        loss.backward()
+        opt.step()
+        return float(loss)
+
+    step(0)  # warmup
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        step(i + 1)
+    return n_steps / (time.perf_counter() - t0)
+
+
 def _build_aa(solve_method: str = "ge_cached"):
     import jax.numpy as jnp
     import flamo_tpu
@@ -504,7 +684,8 @@ def measure_active_acoustics_steps_per_sec(k: int = 20, n_calls: int = 3,
 
 
 def measure_aa_evs_train_steps_per_sec(k: int = 100, n_calls: int = 3,
-                                       iter_num: int = 30):
+                                       iter_num: int = 30,
+                                       n_mics: int = 4):
     """The reference's TRUE active-acoustics training workload
     (BASELINE.md line 20: 4 mics x 13 loudspeakers, RIR 15000, FIR 100,
     nfft 96000, EIGENVALUE loss — e8_active_acoustics.py:671-739):
@@ -512,7 +693,14 @@ def measure_aa_evs_train_steps_per_sec(k: int = 100, n_calls: int = 3,
     trainee U.  Runs models.aa_evs_train_step — linop-composed
     partition spectrum + the on-device char-poly eig (the axon TPU
     rejects host callbacks, so this objective was untrainable on that
-    hardware before 2026-08-17)."""
+    hardware before 2026-08-17).
+
+    ``n_mics=8`` measures the largest rig the lanes-major
+    char-poly + Durand-Kerner path covers (the functional.eigvals DK
+    ceiling): per-bin 8x8 loop matrices, 8-root DK iteration — on-chip
+    evidence for eigenvalue TRAINING above the 4-mic headline
+    (VERDICT r4 next #3; rigs beyond N=8 route through the dense
+    eigvals_qr_grad path, measured separately as evs_grad_n16)."""
     import jax
     import jax.numpy as jnp
     import flamo_tpu
@@ -523,10 +711,10 @@ def measure_aa_evs_train_steps_per_sec(k: int = 100, n_calls: int = 3,
     flamo_tpu.set_seed(130297)
     M = NFFT // 2 + 1
     with host_eager():
-        aa = ActiveAcoustics(n_S=1, n_M=4, n_L=13, n_A=1, nfft=NFFT,
+        aa = ActiveAcoustics(n_S=1, n_M=n_mics, n_L=13, n_A=1, nfft=NFFT,
                              FIR_order=100, rir_length=15000,
                              wgn_RT=1.0, room_t60=0.5)
-        tg = jnp.full((M, 4), 0.3, dtype=jnp.float32)
+        tg = jnp.full((M, n_mics), 0.3, dtype=jnp.float32)
         multi, opt_state, er, ei = aa_evs_train_step(aa, tg, lr=1e-3,
                                                      iter_num=iter_num)
         m = aa.F_MM
@@ -548,27 +736,30 @@ def measure_aa_evs_train_steps_per_sec(k: int = 100, n_calls: int = 3,
     return sps
 
 
-def measure_evs_grad_calls_per_sec(nbins: int = 1600, n_calls: int = 50):
+def measure_evs_grad_calls_per_sec(nbins: int = 1600, n_calls: int = 50,
+                                   N: int = 4):
     """Eigenvalue-objective training step rate: value_and_grad of the
     optimize.mse_evs shape (sorted |eig| magnitude MSE over one bin
-    partition of (nbins, 4, 4) loop matrices — the reference
+    partition of (nbins, N, N) loop matrices — the reference
     e8_active_acoustics.py:564-621 objective at its per-step partition
     size for M=48001, iter_num=30).
 
-    On the axon tunnel this exercises functional.eigvals_dk (on-device
-    char-poly + Durand-Kerner eig): host callbacks are rejected outright
-    there, so before 2026-08-17 this objective could not train on the
-    TPU at all.  Inputs ship as re/im (complex host->device transfers
-    flake on the tunnel)."""
+    On the axon tunnel N<=8 exercises functional.eigvals_dk (on-device
+    char-poly + Durand-Kerner eig); 8 < N <= 64 exercises
+    eigvals_qr_grad (batched Hessenberg/shifted-QR values + inverse-
+    iteration eigvector recovery for the closed-form VJP) — host
+    callbacks are rejected outright there, so before 2026-08-17/18
+    these objectives could not train on the TPU at all.  Inputs ship as
+    re/im (complex host->device transfers flake on the tunnel)."""
     import numpy as np
     import jax
     import jax.numpy as jnp
     from flamo_tpu.functional import eigvals
 
     rng = np.random.default_rng(0)
-    ar = jnp.asarray(rng.normal(size=(nbins, 4, 4)).astype(np.float32))
-    ai = jnp.asarray(rng.normal(size=(nbins, 4, 4)).astype(np.float32))
-    t = jnp.asarray(rng.uniform(size=(nbins, 4)).astype(np.float32))
+    ar = jnp.asarray(rng.normal(size=(nbins, N, N)).astype(np.float32))
+    ai = jnp.asarray(rng.normal(size=(nbins, N, N)).astype(np.float32))
+    t = jnp.asarray(rng.uniform(size=(nbins, N)).astype(np.float32))
 
     def loss(ar, ai, t):
         m = jnp.abs(eigvals(jax.lax.complex(ar, ai)))
@@ -897,6 +1088,10 @@ def get_baseline(refresh: bool = False):
     if "torch_cpu_aa_steps_per_sec" not in data:
         data["torch_cpu_aa_steps_per_sec"] = measure_torch_aa_baseline()
         changed = True
+    if "torch_cpu_sfdn_steps_per_sec" not in data:
+        data["torch_cpu_sfdn_steps_per_sec"] = (
+            measure_torch_sfdn_baseline())
+        changed = True
     if changed or refresh:
         with open(BASELINE_CACHE, "w") as f:
             json.dump(data, f)
@@ -1019,7 +1214,21 @@ def main():
                     choices=["fused_tin", "fused_np", "fused", "hoisted",
                              "graph", "ge"],
                     help=argparse.SUPPRESS)
+    ap.add_argument("--sfdn-only", type=str, default=None,
+                    choices=["pallas", "ge_nopivot", "ge_cached", "ge"],
+                    help=argparse.SUPPRESS)
+    ap.add_argument("--n64-only", action="store_true",
+                    help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    if args.n64_only:
+        print(json.dumps(measure_n64_solve_ms()))
+        return
+
+    if args.sfdn_only is not None:
+        sps, fl = measure_sfdn_steps_per_sec(solve_method=args.sfdn_only)
+        print(json.dumps({"steps_per_sec": sps, "final_loss": fl}))
+        return
 
     if args.ensemble_only is not None:
         v = measure_ensemble_steps_per_sec(solve_method=args.ensemble_only)
@@ -1189,6 +1398,34 @@ def main():
                     return res["steps_per_sec"]
             return measure_attenuated_fdn_steps_per_sec(mode="xla")[0]
 
+        def _sfdn_subprocess(method, timeout):
+            cmd = [sys.executable, os.path.abspath(__file__),
+                   "--sfdn-only", method]
+            try:
+                out = subprocess.run(cmd, capture_output=True, text=True,
+                                     timeout=timeout)
+            except subprocess.TimeoutExpired:
+                return None
+            if out.returncode != 0:
+                return None
+            return _last_json_line(out.stdout)
+
+        def _sfdn_best_backend():
+            # solve ladder on the full (M, N, N) frequency-dependent
+            # scattering loop: the generic Pallas elimination kernel,
+            # the no-pivot XLA elimination (loss-gated — the paraunitary
+            # loop can resonate), then the cached-factor pivoted solve.
+            # Each rung in a subprocess (Mosaic hangs / in-process
+            # contamination must not wedge the table).
+            for method in ("pallas", "ge_nopivot", "ge_cached"):
+                res = _sfdn_subprocess(method, args.timeout)
+                if res is None:
+                    continue
+                fl = res.get("final_loss")
+                if fl is not None and fl == fl and 0.0 < fl < 10.0:
+                    return res["steps_per_sec"]
+            return measure_sfdn_steps_per_sec(solve_method="ge")[0]
+
         def _aa_subprocess(mode, timeout):
             cmd = [sys.executable, os.path.abspath(__file__),
                    "--aa-only", mode]
@@ -1233,12 +1470,17 @@ def main():
             ("freq_response_evals_per_sec", measure_jax_evals_per_sec, 1),
             ("attenuated_fdn_steps_per_sec",
              _attenuated_best_backend, 2),
+            ("sfdn_train_steps_per_sec", _sfdn_best_backend, 2),
             ("active_acoustics_steps_per_sec",
              _aa_best_backend, 2),
             ("evs_grad_steps_per_sec",
              measure_evs_grad_calls_per_sec, 1),
+            ("evs_grad_n16_steps_per_sec",
+             lambda: measure_evs_grad_calls_per_sec(n_calls=10, N=16), 1),
             ("aa_evs_train_steps_per_sec",
              measure_aa_evs_train_steps_per_sec, 1),
+            ("aa_evs8_train_steps_per_sec",
+             lambda: measure_aa_evs_train_steps_per_sec(n_mics=8), 1),
         ]:
             vals, last_err = [], None
             for _ in range(reps):
@@ -1257,6 +1499,8 @@ def main():
             for metric, bkey in (
                     ("attenuated_fdn_steps_per_sec",
                      "torch_cpu_attenuated_steps_per_sec"),
+                    ("sfdn_train_steps_per_sec",
+                     "torch_cpu_sfdn_steps_per_sec"),
                     ("active_acoustics_steps_per_sec",
                      "torch_cpu_aa_steps_per_sec")):
                 if name == metric and vals and baselines.get(bkey):
@@ -1264,8 +1508,19 @@ def main():
                                          "_vs_baseline")] = round(
                         max(vals) / baselines[bkey], 2)
                     extra[bkey] = round(baselines[bkey], 3)
+        # n64 in a FRESH SUBPROCESS: in-process it degrades ~1700x after
+        # the other metrics run (104 ms vs 0.061 ms standalone, BENCH.md
+        # r4 — same backend-state contamination the ensembles metric
+        # hits); the subprocess reading is the number of record
         try:
-            extra.update(measure_n64_solve_ms())
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--n64-only"],
+                capture_output=True, text=True, timeout=args.timeout)
+            res = _last_json_line(out.stdout)
+            if out.returncode == 0 and res is not None:
+                extra.update(res)
+            else:
+                raise RuntimeError(out.stderr.strip()[-60:])
         except Exception as e:  # pragma: no cover - backend flakiness
             extra["n64_solve"] = f"error: {str(e)[:60]}"
         print(json.dumps({**result, **extra}))

@@ -47,6 +47,7 @@ __all__ = ["bins_sharded_fused_loss", "make_bins_sharded_fused_step",
            "bins_sharded_attenuated_loss",
            "make_bins_sharded_attenuated_step",
            "make_bins_sharded_aa_taps_step",
+           "make_bins_sharded_evs_step",
            "seed_bins_sharded_fused_loss",
            "make_seed_bins_sharded_fused_step"]
 
@@ -274,6 +275,158 @@ def make_bins_sharded_fused_step(model, mesh, lr: float = 1e-3,
         return optax.apply_updates(model, updates), opt_state, loss
 
     return step, opt_state
+
+
+def make_bins_sharded_evs_step(aa, target_evs, mesh, lr: float = 1e-3,
+                               iter_num: int = 30, masks=None,
+                               axis_name: str = "bins", key=None):
+    """The lanes-major active-acoustics EIGENVALUE training step
+    (:func:`models.active_acoustics.aa_evs_train_step`) with each step's
+    bin partition sharded over ``mesh[axis_name]`` — completes the
+    multi-chip story for the fourth headline workload (VERDICT r4
+    next #9).
+
+    Layout: the pre-permuted lanes-major row operands (DFT basis,
+    H_LM * diag(R G) rows, sorted targets) are reshaped partition-major
+    ``(rows, n_parts, P)`` and the WITHIN-partition bin axis ``P``
+    (zero-padded to a multiple of the mesh size) is sharded — step ``i``
+    indexes partition ``i % n_parts`` locally on every device, so no
+    step ever crosses a shard boundary.  Zero-padded bins are exact
+    no-ops: zero basis columns give a zero loop matrix whose (centered,
+    scaled) eigenvalue magnitudes are ~0 against a zero target, and
+    their tap cotangents vanish through the zero basis columns.  Each
+    shard runs the full char-poly + Durand-Kerner pipeline on its local
+    bins; the scalar loss partial is psum'd (squared-error SUMS, so
+    padding cancels exactly) and the trainable taps ``U`` are
+    replicated — their cotangent arrives via the gradient psum
+    ``shard_map`` transposition inserts.
+
+    Returns ``(step, opt_state, er, ei)`` with
+    ``step(m, o, er, ei, tg, i) -> (m, o, loss)`` — one optimizer step
+    at global step index ``i`` (the partition cycles with ``i``,
+    matching ``optimize.mse_evs``); lockstep with the unsharded
+    ``aa_evs_train_step`` up to f32 reduction order
+    (tests/test_parallel.py)."""
+    import numpy as np
+
+    from flamo_tpu.functional import poly_roots_rows
+    from flamo_tpu.models.active_acoustics import (_charpoly_rows,
+                                                   _sort_rows,
+                                                   aa_dft_basis)
+    from flamo_tpu.optimize.utils import generate_partitions
+
+    model = aa.F_MM
+    core = model.get_core()
+    U = core["U"]
+    nfft = model.nfft
+    M = nfft // 2 + 1
+    order, n_L, n_M = U.param.shape
+    n_samples = int(np.ceil(M / iter_num))
+    if masks is None:
+        masks = generate_partitions(jnp.arange(M), n_samples, 1, key=key)
+    else:
+        masks = jnp.asarray(masks)
+        n_samples = int(masks.shape[1])
+    n_parts = int(masks.shape[0])
+    perm = np.asarray(masks).reshape(-1)
+    n = mesh.shape[axis_name]
+    Pp = ((n_samples + n - 1) // n) * n
+    padP = Pp - n_samples
+
+    def part_major(a):
+        # (rows, n_parts * P) -> (rows, n_parts, Pp) zero-padded
+        a = a.reshape(a.shape[0], n_parts, n_samples)
+        if padP:
+            a = jnp.pad(a, ((0, 0), (0, 0), (0, padP)))
+        return a
+
+    tx = masked_optimizer(optax.adam(lr), model)
+    opt_state = tx.init(model)
+    er, ei = aa_dft_basis(order, nfft)
+    er, ei = part_major(er[:, perm]), part_major(ei[:, perm])
+    hp = jax.lax.Precision.HIGHEST
+
+    def step(m, o, er, ei, tg, i):
+        from flamo_tpu.ops import linop
+
+        core = m.get_core()
+        kH, H = core["H_LM"].matrix_response()
+        H = jax.lax.stop_gradient(
+            linop.materialize(kH, H, M, n_M, n_L))  # (M, n_M, n_L)
+        kR, R = core["R"].matrix_response()
+        kG, G = core["G"].matrix_response()
+        assert kR == linop.DIAG and kG == linop.DIAG
+        rg = jax.lax.stop_gradient(jnp.broadcast_to(R * G, (M, n_L)))
+        Hrg = jnp.transpose(H * rg[:, None, :], (1, 2, 0)).reshape(
+            n_M * n_L, M)[:, perm]
+        hr_all = part_major(jnp.real(Hrg))
+        hi_all = part_major(jnp.imag(Hrg))
+        tg_all = part_major(
+            jnp.sort(tg, axis=-1).T[:, perm])  # (n_M, parts, Pp)
+        p_idx = jnp.asarray(i % n_parts)
+
+        def shard_fn(hr_p, hi_p, tg_p, er_p, ei_p, taps, p_idx):
+            def pick(a):
+                return jax.lax.dynamic_index_in_dim(a, p_idx, axis=1,
+                                                    keepdims=False)
+
+            hr = pick(hr_p).reshape(n_M, 1, n_L, -1)
+            hi = pick(hi_p).reshape(n_M, 1, n_L, -1)
+            tgw = pick(tg_p)  # (n_M, Pl)
+            erw, eiw = pick(er_p), pick(ei_p)  # (order, Pl)
+            ur = jnp.matmul(taps.T, erw, precision=hp)
+            ui = jnp.matmul(taps.T, eiw, precision=hp)
+            Pl = erw.shape[-1]
+            urt = jnp.transpose(ur.reshape(n_L, n_M, Pl), (1, 0, 2))[None]
+            uit = jnp.transpose(ui.reshape(n_L, n_M, Pl), (1, 0, 2))[None]
+            fr = (hr * urt - hi * uit).sum(axis=2)
+            fi = (hr * uit + hi * urt).sum(axis=2)
+            eyeb = jnp.eye(n_M, dtype=fr.dtype)[..., None]
+            # double-where guard (CLAUDE.md): zero-padded bins would
+            # hand the root solver p(z) = z^N, whose implicit-function
+            # VJP divides by p'(0) = 0 — NaNs that poison the psum'd
+            # gradient.  Padded bins instead solve a benign distinct
+            # diagonal spectrum and are masked out of the loss (their
+            # tap cotangents are exactly zero through the mask).
+            gidx = jax.lax.axis_index(axis_name) * Pl + jnp.arange(Pl)
+            valid = (gidx < n_samples).astype(fr.dtype)  # (Pl,)
+            safe = eyeb * (1.0 + jnp.arange(n_M, dtype=fr.dtype)
+                           )[:, None, None]
+            fr = jnp.where(valid > 0, fr, safe)
+            fi = jnp.where(valid > 0, fi, 0.0)
+            mur = (fr * eyeb).sum((0, 1)) / n_M
+            mui = (fi * eyeb).sum((0, 1)) / n_M
+            br = fr - eyeb * mur
+            bi = fi - eyeb * mui
+            s = jnp.maximum(
+                jnp.sqrt((br * br + bi * bi).sum((0, 1)) / n_M), 1e-30)
+            cr, ci = _charpoly_rows(br / s, bi / s, n_M)
+            zr, zi = poly_roots_rows(cr, ci)
+            evr = zr * s + mur
+            evi = zi * s + mui
+            mag = _sort_rows(jnp.sqrt(evr * evr + evi * evi))
+            # squared-error SUM masked to true bins, so padding cancels
+            # exactly in the psum; the mean uses the TRUE bin count
+            part = jnp.sum(((mag - tgw) ** 2) * valid[None])
+            return jax.lax.psum(part, axis_name) / (n_M * n_samples)
+
+        def loss_fn(mm):
+            Um = mm.get_core()["U"]
+            env = jnp.asarray(Um.gamma, Um.param.dtype) ** jnp.arange(
+                order, dtype=Um.param.dtype)
+            taps = (Um.ir(Um.param) * env[:, None, None]).reshape(
+                order, n_L * n_M)
+            return shard_map(
+                shard_fn, mesh=mesh,
+                in_specs=(P(None, None, axis_name),) * 5 + (P(), P()),
+                out_specs=P(), check_vma=False,
+            )(hr_all, hi_all, tg_all, er, ei, taps, p_idx)
+
+        loss, grads = jax.value_and_grad(loss_fn)(m)
+        updates, o = tx.update(grads, o, m)
+        return optax.apply_updates(m, updates), o, loss
+
+    return step, opt_state, er, ei
 
 
 def seed_bins_sharded_fused_loss(model, X, t, mesh,

@@ -443,3 +443,50 @@ def test_seed_bins_sharded_fused_step_matches_unsharded():
                 continue
             scale = max(1e-12, np.abs(b).max())
             assert np.abs(a[i] - b).max() / scale < 1e-5
+
+
+def test_bins_sharded_evs_step_matches_unsharded():
+    """The lanes-major eigenvalue training step sharded over the
+    within-partition bin axis is lockstep with the unsharded
+    aa_evs_train_step (same partition schedule, same charpoly + DK
+    pipeline per shard, squared-error-sum psum)."""
+    from flamo_tpu.models.active_acoustics import (ActiveAcoustics,
+                                                   aa_evs_train_step)
+    from flamo_tpu.parallel import make_bins_sharded_evs_step
+
+    flamo_tpu.set_seed(130297)
+    nfft = 1024
+    M = nfft // 2 + 1
+    aa = ActiveAcoustics(n_S=1, n_M=3, n_L=4, n_A=1, nfft=nfft,
+                         FIR_order=8, rir_length=128, wgn_RT=0.3,
+                         room_t60=0.2)
+    tg = jnp.full((M, 3), 0.3, dtype=jnp.float32)
+
+    flamo_tpu.set_seed(7)
+    multi, opt_ref, er_ref, ei_ref = aa_evs_train_step(
+        aa, tg, lr=1e-3, iter_num=4)
+    m_ref, o_ref, losses_ref = jax.jit(
+        multi, static_argnums=(6,))(aa.F_MM, opt_ref,
+                                    jnp.asarray(er_ref),
+                                    jnp.asarray(ei_ref), tg, 0, 3)
+
+    mesh = get_mesh(8, axis_name="bins")
+    flamo_tpu.set_seed(7)  # same partition key as the reference run
+    step, opt_sh, er_sh, ei_sh = make_bins_sharded_evs_step(
+        aa, tg, mesh, lr=1e-3, iter_num=4)
+    jstep = jax.jit(step)
+    m_sh, o_sh = aa.F_MM, opt_sh
+    losses_sh = []
+    for i in range(3):
+        m_sh, o_sh, loss = jstep(m_sh, o_sh, er_sh, ei_sh, tg,
+                                 jnp.asarray(i))
+        losses_sh.append(float(loss))
+
+    np.testing.assert_allclose(losses_sh, np.asarray(losses_ref),
+                               rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(m_sh),
+                    jax.tree_util.tree_leaves(m_ref)):
+        a, b = np.asarray(a), np.asarray(b)
+        if a.dtype.kind == "f":
+            scale = max(1e-12, np.abs(b).max())
+            assert np.abs(a - b).max() / scale < 1e-4
