@@ -127,7 +127,7 @@ def measure_jax_scan_steps_per_sec(k: int = 400, n_calls: int = 2,
     return n_calls * k / dt, float(loss)
 
 
-def measure_jax_evals_per_sec(k: int = 200, n_calls: int = 2):
+def measure_jax_evals_per_sec(k: int = 2000, n_calls: int = 2):
     """Secondary BASELINE metric: Shell.get_freq_response evals/sec
     (reference system.py:1081-1153).
 
@@ -138,7 +138,12 @@ def measure_jax_evals_per_sec(k: int = 200, n_calls: int = 2):
     dispatched lax.scan (steady-state compute throughput, same shape as
     the scan train bench); a carry-dependent 1e-30 parameter
     perturbation defeats loop-invariant hoisting, so all k responses
-    are really computed.  Best of ``n_calls`` timed dispatches."""
+    are really computed.  Best of ``n_calls`` timed dispatches.
+
+    k=2000: the tunnel charges ~28 ms PER DISPATCH (measured 2026-08-19:
+    a trivial-body scan reads ~140 us/iter at k=200 and the SAME
+    program's true cost at k=6400 — the train bench — is ~4 us/iter of
+    overhead), so short scans measure the tunnel, not the workload."""
     import jax
     import jax.numpy as jnp
     import flamo_tpu
