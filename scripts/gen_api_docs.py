@@ -44,7 +44,10 @@ MODULES = [
     "flamo_tpu.parallel.ensemble",
     "flamo_tpu.parallel.fused",
     "flamo_tpu.models.colorless_fdn",
+    "flamo_tpu.models.attenuated_fdn",
+    "flamo_tpu.models.scattering_fdn",
     "flamo_tpu.models.active_acoustics",
+    "flamo_tpu.models.dispatch",
 ]
 
 
