@@ -97,8 +97,9 @@ def get_eigenvalues(x):
     part #2.  On backends that reject host callbacks (axon): N <= 8 uses
     the on-device char-poly solver :func:`eigvals_dk` (shared with the
     trainable objectives), 8 < N <= EIG_QR_MAX_N the on-device Hessenberg+shifted-QR
-    solver :func:`flamo_tpu.ops.qr_eig.eigvals_qr` (~1e-5..2.5e-5
-    set-match vs LAPACK) — so GBI-style analyses of larger rigs
+    solver :func:`flamo_tpu.ops.qr_eig.eigvals_qr` (~1e-5..3.4e-5
+    set-match vs LAPACK, verified on the tunnel to N=128) — so
+    GBI-style analyses of larger rigs
     (reference e8_active_acoustics.py:183-215) run on that hardware too.
     """
     x = jnp.asarray(x)

@@ -81,6 +81,16 @@ def _cabs2(x):
     return x[0] * x[0] + x[1] * x[1]
 
 
+def _crecip(y):
+    """conj(y) / |y|^2 — hoists a pivot's reciprocal so the per-row
+    multiplier becomes one complex MULTIPLY (4 mul + 2 add) instead of a
+    full complex division (6 mul + 3 add after the compiler CSEs the
+    shared denominator): the elimination's (N-1-k) rows per pivot share
+    one reciprocal."""
+    inv = 1.0 / (y[0] * y[0] + y[1] * y[1])
+    return (y[0] * inv, -y[1] * inv)
+
+
 def _csel(mask, x, y):
     return (jnp.where(mask, x[0], y[0]), jnp.where(mask, x[1], y[1]))
 
@@ -106,8 +116,9 @@ def _ge_core(A, b, N, shape):
             b[i] = _csel(m, b[k], b[i])
         A[k] = pa
         b[k] = pb
+        pinv = _crecip(A[k][k])  # one reciprocal per pivot
         for i in range(k + 1, N):
-            f = _cdiv(A[i][k], A[k][k])
+            f = _cmul(A[i][k], pinv)
             for j in range(k + 1, N):
                 A[i][j] = _csub(A[i][j], _cmul(f, A[k][j]))
             b[i] = _csub(b[i], _cmul(f, b[k]))
@@ -551,8 +562,9 @@ def _ge_core_nopivot_factors(A, b, N):
     pivots stay away from zero (the stable-FDN case; callers gate on a
     finite-loss check like solve_method='ge_nopivot')."""
     for k in range(N):
+        pinv = _crecip(A[k][k])  # one reciprocal per pivot
         for i in range(k + 1, N):
-            f = _cdiv(A[i][k], A[k][k])
+            f = _cmul(A[i][k], pinv)
             A[i][k] = f  # store the multiplier in the emptied slot
             for j in range(k + 1, N):
                 A[i][j] = _csub(A[i][j], _cmul(f, A[k][j]))

@@ -56,10 +56,18 @@ __all__ = ["eigvals_qr", "eigvals_qr_grad", "EIG_QR_MAX_N"]
 
 #: largest N routed to the QR eigensolver where host callbacks are
 #: unavailable.  The algorithm has no hard ceiling (compiled size is
-#: O(1) in N) and accuracy holds well past it (measured ~2.5e-5
-#: set-match vs LAPACK at N=64 on the tunnel and N=128 on CPU); 64
-#: bounds the O(N^2)-dynamic-step sweep schedule to something sane.
-EIG_QR_MAX_N = 64
+#: O(1) in N in the sweep; the Hessenberg reduction unrolls N-2
+#: Householder columns, so COMPILE time grows with N) and accuracy
+#: holds: measured set-match vs LAPACK 2.5e-5 at N=64 and 3.4e-5 at
+#: N=128 ON THE TUNNEL (8x128x128 complex64, compile 51 s, steady-state
+#: ~1 ms; 2026-08-19 — reran clean after one fetch-phase flake, the
+#: known transfer pathology, not a program failure).  128 bounds the
+#: compile cost to ~1 min; the reference (LAPACK) handles any N, so
+#: N > 128 on a callback-less backend raises NotImplementedError.
+#: NOTE the grad wrapper's eigenvector recovery materializes a
+#: (B, N, N, N) shifted stack — at N=128 that is 16 MB per batch
+#: element; budget B accordingly.
+EIG_QR_MAX_N = 128
 
 
 def _hessenberg(H):

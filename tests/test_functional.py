@@ -525,6 +525,25 @@ def test_eigvals_qr_n64():
     assert rel < 5e-3, rel
 
 
+@pytest.mark.slow
+def test_eigvals_qr_n128():
+    """Top of the raised gate (EIG_QR_MAX_N = 128, round 5): values vs
+    LAPACK.  The same shapes ran ON the axon tunnel 2026-08-19:
+    set-match 3.4e-5, compile 51 s, steady-state ~1 ms for 8x128x128
+    (one fetch-phase flake, reran clean — the known transfer pathology).
+    Grad parity is pinned at N=64 (above); the N=128 VJP only adds the
+    documented (B, N, N, N) eigenvector-recovery memory cost."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    A = ((rng.normal(size=(2, 128, 128))
+          + 1j * rng.normal(size=(2, 128, 128))) / np.sqrt(128)
+         ).astype(np.complex64)
+    err = _match_sets(np.asarray(jax.jit(F.eigvals_qr)(jnp.asarray(A))),
+                      np.linalg.eigvals(A))
+    assert err < 2e-4, err
+
+
 def test_get_eigenvalues_qr_dispatch(monkeypatch):
     """On callback-less backends get_eigenvalues must route
     8 < N <= EIG_QR_MAX_N to the QR solver (and still refuse larger N
