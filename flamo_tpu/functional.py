@@ -65,10 +65,10 @@ def _np_eigvals(x):
 #: for well-separated spectra; the char-poly route degrades with N)
 EIG_DK_MAX_N = 8
 
-# largest N for the on-device Hessenberg+QR analysis eigensolver
-# (~1e-5 set-match vs LAPACK up to N=32, no-grad) — lifts the old N<=8
-# ceiling for GBI-style analysis of larger rigs on the callback-less
-# axon backend
+# the on-device Hessenberg+QR eigensolver handles ANY N above that
+# (O(1) compiled statements; EIG_QR_MAX_N is the verified-accuracy
+# bound, not a gate) — full torch.linalg.eigvals parity for GBI-style
+# analysis AND mse_evs training on the callback-less axon backend
 from flamo_tpu.ops.qr_eig import (  # noqa: E402
     EIG_QR_MAX_N, eigvals_qr, eigvals_qr_grad)
 
@@ -96,11 +96,13 @@ def get_eigenvalues(x):
     host callback (analysis-only, not differentiable) — SURVEY.md §7 hard
     part #2.  On backends that reject host callbacks (axon): N <= 8 uses
     the on-device char-poly solver :func:`eigvals_dk` (shared with the
-    trainable objectives), 8 < N <= EIG_QR_MAX_N the on-device Hessenberg+shifted-QR
-    solver :func:`flamo_tpu.ops.qr_eig.eigvals_qr` (~1e-5..3.4e-5
-    set-match vs LAPACK, verified on the tunnel to N=128) — so
-    GBI-style analyses of larger rigs
-    (reference e8_active_acoustics.py:183-215) run on that hardware too.
+    trainable objectives), any larger N the on-device
+    Hessenberg+shifted-QR solver
+    :func:`flamo_tpu.ops.qr_eig.eigvals_qr` (~1e-5..3.4e-5 set-match
+    vs LAPACK, verified on the tunnel to N = EIG_QR_MAX_N = 128; O(1)
+    compiled statements at any N) — so GBI-style analyses of larger
+    rigs (reference e8_active_acoustics.py:183-215) run on that
+    hardware too.
     """
     x = jnp.asarray(x)
     assert x.shape[-1] == x.shape[-2]
@@ -109,14 +111,11 @@ def get_eigenvalues(x):
     if _callbacks_unsupported():
         if x.shape[-1] <= EIG_DK_MAX_N:
             return jax.lax.stop_gradient(eigvals_dk(x))
-        if x.shape[-1] <= EIG_QR_MAX_N:
-            from flamo_tpu.ops.qr_eig import eigvals_qr
+        # any N: dynamic Hessenberg + shifted QR, O(1) compiled
+        # statements — accuracy VERIFIED to EIG_QR_MAX_N (see qr_eig)
+        from flamo_tpu.ops.qr_eig import eigvals_qr
 
-            return jax.lax.stop_gradient(eigvals_qr(x))
-        raise NotImplementedError(
-            f"nonsymmetric eig of N={x.shape[-1]} on the '{jax.default_backend()}' "
-            f"backend: host callbacks are unsupported and the on-device "
-            f"QR solver is gated to N <= {EIG_QR_MAX_N}")
+        return jax.lax.stop_gradient(eigvals_qr(x))
     out_dtype = complex_dtype_for(x.real.dtype)
     result_shape = jax.ShapeDtypeStruct(x.shape[:-1], out_dtype)
     return jax.pure_callback(_np_eigvals, result_shape, x, vmap_method="expand_dims")
@@ -191,8 +190,10 @@ def eigvals(A):
     reject host callbacks (the axon TPU tunnel) the fully on-device
     char-poly solver (:func:`eigvals_dk`) for N <= EIG_DK_MAX_N and the
     on-device QR solver with the inverse-iteration eigenvector pullback
-    (:func:`flamo_tpu.ops.qr_eig.eigvals_qr_grad`) for
-    N <= EIG_QR_MAX_N.  All are exact-gradient for simple spectra;
+    (:func:`flamo_tpu.ops.qr_eig.eigvals_qr_grad`) for any larger N
+    (accuracy verified to N = EIG_QR_MAX_N; the VJP materializes an
+    O(B N^3) eigenvector-recovery stack — budget the batch at large N).
+    All are exact-gradient for simple spectra;
     eigenvalue ORDER is backend-dependent (LAPACK vs iteration order) —
     treat the result as a set (sort, or use symmetric functions), which
     is what every in-tree consumer (optimize.mse_evs, GBI analysis)
@@ -202,15 +203,11 @@ def eigvals(A):
     if _callbacks_unsupported():
         if A.shape[-1] <= EIG_DK_MAX_N:
             return eigvals_dk(A)
-        if A.shape[-1] <= EIG_QR_MAX_N:
-            from flamo_tpu.ops.qr_eig import eigvals_qr_grad
+        # any N (accuracy VERIFIED to EIG_QR_MAX_N; the VJP's
+        # eigenvector recovery is O(B * N^3) memory — see qr_eig)
+        from flamo_tpu.ops.qr_eig import eigvals_qr_grad
 
-            return eigvals_qr_grad(A)
-        raise NotImplementedError(
-            f"differentiable eig of N={A.shape[-1]} on the "
-            f"'{jax.default_backend()}' backend: host callbacks are "
-            f"unsupported and the on-device QR solver is gated to "
-            f"N <= {EIG_QR_MAX_N}")
+        return eigvals_qr_grad(A)
     return eigvals_lapack(A)
 
 

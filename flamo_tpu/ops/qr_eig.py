@@ -42,8 +42,9 @@ set-match vs LAPACK for random and clustered f32 spectra up to N=32
 usefully differentiable); :func:`eigvals_qr_grad` wraps it with the
 closed-form eigenvalue VJP — eigenvectors recovered on device by
 inverse iteration — which is what :func:`flamo_tpu.functional.eigvals`
-routes 8 < N <= EIG_QR_MAX_N training objectives through on callback-less
-backends.  ``lax`` loop carries are re/im REAL pairs (complex carries
+routes every N > 8 training objective through on callback-less
+backends (accuracy verified to N = EIG_QR_MAX_N; no hard ceiling —
+the dynamic Hessenberg keeps compiled size O(1) in N).  ``lax`` loop carries are re/im REAL pairs (complex carries
 hit backend UNIMPLEMENTED on the tunnel, CLAUDE.md).
 """
 
@@ -54,19 +55,22 @@ import jax.numpy as jnp
 
 __all__ = ["eigvals_qr", "eigvals_qr_grad", "EIG_QR_MAX_N"]
 
-#: largest N routed to the QR eigensolver where host callbacks are
-#: unavailable.  The algorithm has no hard ceiling (compiled size is
-#: O(1) in N in the sweep; the Hessenberg reduction unrolls N-2
-#: Householder columns, so COMPILE time grows with N) and accuracy
-#: holds: measured set-match vs LAPACK 2.5e-5 at N=64 and 3.4e-5 at
-#: N=128 ON THE TUNNEL (8x128x128 complex64, compile 51 s, steady-state
-#: ~1 ms; 2026-08-19 — reran clean after one fetch-phase flake, the
-#: known transfer pathology, not a program failure).  128 bounds the
-#: compile cost to ~1 min; the reference (LAPACK) handles any N, so
-#: N > 128 on a callback-less backend raises NotImplementedError.
-#: NOTE the grad wrapper's eigenvector recovery materializes a
-#: (B, N, N, N) shifted stack — at N=128 that is 16 MB per batch
-#: element; budget B accordingly.
+#: largest N at which the QR eigensolver's accuracy has been VERIFIED
+#: against LAPACK — NOT a hard gate (round 5 removed it): any N
+#: compiles in O(1) statements (`_hessenberg_dyn` above
+#: `_HESS_STATIC_MAX_N`, dynamic sweeps throughout), matching the
+#: reference's any-N `torch.linalg.eigvals` semantics on
+#: callback-rejecting backends.  Measured set-match vs LAPACK: 2.5e-5
+#: at N=64 and 3.4e-5 at N=128 ON THE TUNNEL (8x128x128 complex64 via
+#: the static reduction, compile 51 s, steady-state ~1 ms; 2026-08-19)
+#: and to N=192 on CPU through the dynamic reduction (slow tests; the
+#: two reductions are pinned to each other at 1e-5 by
+#: test_hessenberg_dyn_matches_static).  Above this bound the solver
+#: runs but accuracy is extrapolated, and the f32 iteration loses
+#: ground on tightly-clustered spectra — validate against your own
+#: spectra.  NOTE the grad wrapper's eigenvector recovery materializes
+#: a (B, N, N, N) shifted stack (16 MB per batch element at N=128);
+#: budget B accordingly.
 EIG_QR_MAX_N = 128
 
 
@@ -97,6 +101,59 @@ def _hessenberg(H):
         H = H.at[:, :, k + 1:].add(
             -2.0 * w2[:, :, None] * jnp.conj(v)[:, None, :])
     return H
+
+
+#: static-unroll bound for the Hessenberg reduction: at or below this
+#: the shrinking-window unrolled :func:`_hessenberg` wins (fewer flops,
+#: O(N) einsums); above it the mask-based :func:`_hessenberg_dyn` keeps
+#: COMPILE time O(1) in N — the unroll's compile cost is what used to
+#: gate the whole solver.
+_HESS_STATIC_MAX_N = 64
+
+
+def _hessenberg_dyn(H):
+    """Mask-based Householder reduction with a dynamic ``fori_loop``
+    carry: O(1) compiled statements in N, removing the static unroll's
+    compile-time ceiling (51 s at N=128 on the tunnel; minutes beyond).
+
+    Same math as :func:`_hessenberg` — the reflector ``v`` is supported
+    on rows > k only, so the full-size rank-1 updates touch exactly the
+    rows/columns the shrinking-window version touches (at ~3x the
+    flops, irrelevant for an analysis path).  The loop carry is an
+    re/im pair: complex ``fori_loop`` carries hit backend UNIMPLEMENTED
+    on the axon tunnel (CLAUDE.md)."""
+    B, N, _ = H.shape
+    idx = jnp.arange(N)
+
+    def body(k, carry):
+        Hr, Hi = carry
+        Hc = jax.lax.complex(Hr, Hi)
+        col = jax.lax.dynamic_slice(Hc, (0, 0, k), (B, N, 1))[..., 0]
+        rmask = idx > k  # rows k+1 .. N-1
+        x = jnp.where(rmask[None, :], col, jnp.zeros_like(col))
+        normx = jnp.sqrt(jnp.sum(jnp.abs(x) ** 2, axis=-1))
+        e1 = idx == k + 1
+        x0 = jnp.sum(jnp.where(e1[None, :], x, jnp.zeros_like(x)), axis=-1)
+        ax0 = jnp.abs(x0)
+        phase = jnp.where(ax0 > 0.0, x0 / jnp.where(ax0 > 0.0, ax0, 1.0),
+                          jnp.ones_like(x0))
+        alpha = -phase * normx.astype(x.dtype)
+        u = x - alpha[:, None] * e1[None, :].astype(x.dtype)
+        unorm = jnp.sqrt(jnp.sum(jnp.abs(u) ** 2, axis=-1))
+        ok = unorm > 0.0
+        v = u / jnp.where(ok, unorm, 1.0).astype(u.dtype)[:, None]
+        v = jnp.where(ok[:, None], v, jnp.zeros_like(v))
+        # rows: H -= 2 v (v^H H) — v is zero on rows <= k
+        w = jnp.einsum("bi,bij->bj", jnp.conj(v), Hc)
+        Hc = Hc - 2.0 * v[:, :, None] * w[:, None, :]
+        # cols: H -= 2 (H v) v^H — v^H is zero on cols <= k
+        w2 = jnp.einsum("bij,bj->bi", Hc, v)
+        Hc = Hc - 2.0 * w2[:, :, None] * jnp.conj(v)[:, None, :]
+        return jnp.real(Hc), jnp.imag(Hc)
+
+    Hr, Hi = jax.lax.fori_loop(0, N - 2, body,
+                               (jnp.real(H), jnp.imag(H)))
+    return jax.lax.complex(Hr, Hi)
 
 
 def _wilkinson_shift(blk):
@@ -146,7 +203,8 @@ def eigvals_qr(A, sweeps: int = 14):
         jnp.sqrt(jnp.sum(jnp.abs(H) ** 2, axis=(-2, -1)) / N), 1e-30)
     H = H / s[:, None, None].astype(A.dtype)
 
-    H = _hessenberg(H)
+    H = (_hessenberg(H) if N <= _HESS_STATIC_MAX_N
+         else _hessenberg_dyn(H))
     eyeN = jnp.eye(N, dtype=H.dtype)
 
     def row_rot(i, carry):
@@ -282,8 +340,8 @@ def eigvals_qr_grad(A, sweeps: int = 14, iters: int = 2):
     eigenvalues (:func:`_right_eigvecs`) instead of shipped from a host
     callback.  This lifts the trainable-eigenvalue ceiling on
     callback-less backends (axon) from the char-poly solver's N <= 8 to
-    N <= EIG_QR_MAX_N: ``mse_evs`` objectives over 8+-mic active-acoustics
-    rigs
+    any N (accuracy verified to N = EIG_QR_MAX_N): ``mse_evs``
+    objectives over 8+-mic active-acoustics rigs
     (reference e8_active_acoustics.py:564-621 via torch.linalg.eigvals
     autograd) become trainable on the target hardware.
 
@@ -315,7 +373,7 @@ def _eigvals_qr_grad_fwd(A, sweeps, iters):
 
 
 def _eigvals_qr_grad_bwd(sweeps, iters, res, w_bar):
-    from flamo_tpu.ops.solve import gauss_solve
+    from flamo_tpu.ops.solve import gauss_solve, gauss_solve_loop
 
     Acf, lam, sentinel = res
     in_dtype = sentinel.dtype
@@ -324,7 +382,9 @@ def _eigvals_qr_grad_bwd(sweeps, iters, res, w_bar):
     wb = w_bar.reshape((-1, N)).astype(Acf.dtype)
     V = _right_eigvecs(Acf, lam, iters)
     eyeb = jnp.broadcast_to(jnp.eye(N, dtype=V.dtype), V.shape)
-    Vinv = gauss_solve(V, eyeb)
+    # same compile-cost routing as _right_eigvecs: the statically
+    # unrolled elimination's O(N^2) HLO is compile-hostile past N = 32
+    Vinv = (gauss_solve if N <= 32 else gauss_solve_loop)(V, eyeb)
     # JAX cotangents carry the conjugation, so the pullback is the plain
     # transpose — identical convention to functional._eigvals_bwd.
     A_bar = jnp.swapaxes(V @ (wb[:, :, None] * Vinv), -1, -2)

@@ -545,12 +545,14 @@ def test_eigvals_qr_n128():
 
 
 def test_get_eigenvalues_qr_dispatch(monkeypatch):
-    """On callback-less backends get_eigenvalues must route
-    8 < N <= EIG_QR_MAX_N to the QR solver (and still refuse larger N
-    with a clear error)."""
+    """On callback-less backends get_eigenvalues must route every
+    N > EIG_DK_MAX_N to the QR solver — ANY N, matching the reference's
+    torch.linalg.eigvals semantics (round 5 removed the N-ceiling; the
+    dynamic Hessenberg compiles in O(1) statements)."""
     import numpy as np
 
     import flamo_tpu.functional as Fm
+    import flamo_tpu.ops.qr_eig as qr_eig
 
     monkeypatch.setattr(Fm, "_callbacks_unsupported", lambda: True)
     rng = np.random.default_rng(10)
@@ -559,18 +561,62 @@ def test_get_eigenvalues_qr_dispatch(monkeypatch):
     z = np.asarray(Fm.get_eigenvalues(jnp.asarray(A)))
     err = _match_sets(z, np.linalg.eigvals(A))
     assert err < 1e-4, err
-    from flamo_tpu.ops.qr_eig import EIG_QR_MAX_N
-
-    big = jnp.zeros((2, EIG_QR_MAX_N + 8, EIG_QR_MAX_N + 8), jnp.complex64)
-    with pytest.raises(NotImplementedError):
-        Fm.get_eigenvalues(big)
-    # differentiable eigvals routes 8 < N <= EIG_QR_MAX_N to the QR
-    # solver's inverse-iteration VJP; only larger N refuses
     z16 = np.asarray(Fm.eigvals(jnp.asarray(A)))
     err = _match_sets(z16, np.linalg.eigvals(A))
     assert err < 1e-4, err
-    with pytest.raises(NotImplementedError):
-        Fm.eigvals(big)
+    # large N routes to the QR solver instead of refusing (sentinel
+    # stubs keep the fast gate fast — real large-N accuracy is pinned
+    # by the slow N=128/N=192 tests)
+    from flamo_tpu.ops.qr_eig import EIG_QR_MAX_N
+
+    nbig = EIG_QR_MAX_N + 72
+    big = jnp.zeros((2, nbig, nbig), jnp.complex64)
+    calls = []
+    monkeypatch.setattr(qr_eig, "eigvals_qr",
+                        lambda a, *aa, **kk: calls.append("qr")
+                        or jnp.zeros(a.shape[:-1], jnp.complex64))
+    monkeypatch.setattr(qr_eig, "eigvals_qr_grad",
+                        lambda a, *aa, **kk: calls.append("qr_grad")
+                        or jnp.zeros(a.shape[:-1], jnp.complex64))
+    assert Fm.get_eigenvalues(big).shape == (2, nbig)
+    assert Fm.eigvals(big).shape == (2, nbig)
+    assert calls == ["qr", "qr_grad"]
+
+
+def test_hessenberg_dyn_matches_static():
+    """The mask-based dynamic-loop Hessenberg (used above
+    _HESS_STATIC_MAX_N, where the static unroll's compile cost is
+    prohibitive) is the same math as the static reduction."""
+    import numpy as np
+
+    from flamo_tpu.ops.qr_eig import _hessenberg, _hessenberg_dyn
+
+    rng = np.random.default_rng(5)
+    A = (rng.normal(size=(3, 12, 12))
+         + 1j * rng.normal(size=(3, 12, 12))).astype(np.complex64)
+    Hs = np.asarray(_hessenberg(jnp.asarray(A)))
+    Hd = np.asarray(jax.jit(_hessenberg_dyn)(jnp.asarray(A)))
+    assert np.abs(Hs - Hd).max() < 1e-5 * np.abs(Hs).max()
+    # strictly-lower part (below the first subdiagonal) is annihilated
+    tri = np.tril(np.ones((12, 12)), -2).astype(bool)
+    assert np.abs(Hd[:, tri]).max() < 1e-5 * np.abs(Hd).max()
+
+
+@pytest.mark.slow
+def test_eigvals_qr_n192_dynamic_hessenberg():
+    """Above _HESS_STATIC_MAX_N the solver has NO ceiling: N=192 runs
+    through the dynamic-loop Hessenberg with O(1) compiled statements
+    (the old static unroll took ~51 s to COMPILE at N=128 on the
+    tunnel and would grow from there)."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    A = ((rng.normal(size=(1, 192, 192))
+          + 1j * rng.normal(size=(1, 192, 192))) / np.sqrt(192)
+         ).astype(np.complex64)
+    err = _match_sets(np.asarray(jax.jit(F.eigvals_qr)(jnp.asarray(A))),
+                      np.linalg.eigvals(A))
+    assert err < 5e-4, err
 
 
 def test_eigvals_qr_grad_matches_callback():
