@@ -1,9 +1,10 @@
 """Smoke-run every example headlessly (reference examples/run_all.py).
 
-``--full`` instead runs the three realistic reference workloads at the
-REFERENCE's shapes (the colorless flagship and e8_fdn at nfft=96000;
-active acoustics at 4 mics x 13 loudspeakers, RIR 15000, FIR order 100,
-nfft=96000) on the default device (intended: the TPU) and reports
+``--full`` instead runs the four realistic reference workloads at the
+REFERENCE's shapes (the colorless flagship, the scattering FDN and
+e8_fdn at nfft=96000; active acoustics at 4 mics x 13 loudspeakers,
+RIR 15000, FIR order 100, nfft=96000) on the default device (intended:
+the TPU) and reports
 wall-clock — the end-to-end gate that the framework holds up beyond the
 bench's isolated step timings.  Each example's own assertions (finite +
 decreasing losses, finite GBI/eigenvalues) are the pass criteria."""
@@ -16,12 +17,14 @@ import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 
-# (script, extra CLI args) at the reference's workload shapes.  All
-# three jobs run their gated fast paths by default (colorless: the
-# fused no-pivot step kernel; e8_fdn: fused Pallas cascade+solve
-# kernels + whole-epoch scan; active acoustics: the fused lanes-major
-# evs training step) and fall back to the XLA graph paths if the
-# parity gates fail on the attached backend.
+# (script, extra CLI args) at the reference's workload shapes.  The
+# jobs run their gated fast paths by default (colorless: the fused
+# no-pivot step kernel; e8_fdn: fused Pallas cascade+solve kernels +
+# whole-epoch scan; active acoustics: the fused lanes-major evs
+# training step; scattering FDN: the generic solve ladder — its
+# (M, N, N) frequency-dependent loop has no fused kernel) and fall
+# back to the XLA graph paths if the parity gates fail on the
+# attached backend.
 FULL_JOBS = [
     ("e8_colorless_fdn.py",
      ["--nfft", "96000", "--max_epochs", "5", "--num", "32",
