@@ -1180,6 +1180,26 @@ def _last_json_line(stdout: str):
     return None
 
 
+def tunnel_health_probe(timeout: int = 240) -> bool:
+    """The axon tunnel has been observed to wedge HARD (2026-08-20: even
+    ``jax.devices()`` hangs, so no in-process timeout can fire).  Probe
+    backend init + one trivial jit in a subprocess with a wall-clock
+    timeout, so a dead tunnel yields a diagnosable JSON error line
+    instead of a driver-stalling hang.  The generous timeout covers the
+    plugin's cold init (~20-40 s) on a loaded host."""
+    import subprocess
+    import sys
+
+    code = ("import jax, jax.numpy as jnp; "
+            "print(float(jax.jit(lambda x: x + 1)(jnp.ones(4)).sum()))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout,
+                           capture_output=True, text=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     enable_compile_cache()
     ap = argparse.ArgumentParser()
@@ -1225,6 +1245,22 @@ def main():
     ap.add_argument("--n64-only", action="store_true",
                     help=argparse.SUPPRESS)
     args = ap.parse_args()
+
+    # sub-invocation modes are only ever launched by a parent bench whose
+    # own probe already passed — don't pay the probe again per rung
+    sub_mode = (args.scan_only or args.n64_only
+                or args.ensemble_only is not None
+                or args.attenuated_only is not None
+                or args.aa_only is not None or args.sfdn_only is not None)
+    if not sub_mode and not tunnel_health_probe():
+        print(json.dumps({
+            "metric": "train_steps_per_sec", "value": 0.0,
+            "unit": "steps/s", "vs_baseline": 0.0,
+            "error": "device backend unresponsive (health probe timed "
+                     "out before any measurement — on the axon tunnel "
+                     "this means the tunnel itself is down; rerun later "
+                     "and see BENCH.md for the last recorded bands)"}))
+        return
 
     if args.n64_only:
         print(json.dumps(measure_n64_solve_ms()))
@@ -1421,14 +1457,31 @@ def main():
             # the no-pivot XLA elimination (loss-gated — the paraunitary
             # loop can resonate), then the cached-factor pivoted solve.
             # Each rung in a subprocess (Mosaic hangs / in-process
-            # contamination must not wedge the table).
+            # contamination must not wedge the table).  The gate is
+            # RELATIVE: every rung runs the identical seeded 600 steps,
+            # so a healthy rung's final loss must agree with the pivoted
+            # ge_cached anchor (this metric is new — its absolute loss
+            # scale is pinned nowhere, so an absolute window could
+            # silently discard healthy runs).
+            results = {}
             for method in ("pallas", "ge_nopivot", "ge_cached"):
                 res = _sfdn_subprocess(method, args.timeout)
                 if res is None:
                     continue
                 fl = res.get("final_loss")
-                if fl is not None and fl == fl and 0.0 < fl < 10.0:
-                    return res["steps_per_sec"]
+                if fl is not None and fl == fl and 0.0 < fl:
+                    results[method] = (res["steps_per_sec"], fl)
+            if results:
+                # anchor on the pivoted solve; with no anchor, the rungs
+                # can only be sanity-checked against each other
+                ref = results.get(
+                    "ge_cached", min(results.values(), key=lambda r: r[1]))[1]
+                for method in ("pallas", "ge_nopivot", "ge_cached"):
+                    if method not in results:
+                        continue
+                    sps, fl = results[method]
+                    if abs(fl - ref) <= max(0.05 * abs(ref), 1e-4):
+                        return sps
             return measure_sfdn_steps_per_sec(solve_method="ge")[0]
 
         def _aa_subprocess(mode, timeout):

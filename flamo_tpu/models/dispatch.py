@@ -23,6 +23,21 @@ Recognized combinations (criterion order does not matter):
   Series(mixing matrix, parallel SOS attenuation)) -> the fused
   attenuated step kernel (``pallas_fdn_sos_tf_mse``).
 
+Both dispatched kernels run ``pivot=False``.  For the recognized
+topologies this is safe by construction, not by luck: the loop matrix is
+``A = diag(D) U`` (colorless: unit-modulus delays x orthogonal mixing)
+or ``diag(D) diag(g) U`` with per-band attenuations ``|g| <= 1``
+(stability-by-construction gamma maps), so ``||A||_2 <= 1`` and every
+leading principal submatrix of ``I - A`` is ``I_k - A[:k,:k]`` with
+``||A[:k,:k]||_2 <= ||A||_2 <= 1`` — the no-pivot elimination can only
+meet a (near-)zero pivot where the PIVOTED solve is (near-)singular too
+(an exact closed-loop resonance), and training preserves the structure
+(expm of skew stays orthogonal, gamma maps stay bounded).  As a
+backstop the Trainer still watchdogs the fused path: a non-finite loss
+at any host sync point raises with instructions to retrain with
+``fused='off'`` instead of silently carrying NaNs
+(``Trainer._check_fused_finite``).
+
 The active-acoustics eigenvalue objective (``mse_evs``) needs the
 :class:`models.ActiveAcoustics` wrapper's frozen-row extraction and has
 its own paved road (``models.aa_evs_fit``, used by the e8 example's
@@ -46,12 +61,15 @@ def recognize_fused(model, criterion, alpha, requires_model):
     from flamo_tpu.optimize.loss import mse_loss, sparsity_loss
 
     kinds = []
-    for c in criterion:
-        if isinstance(c, mse_loss):
+    for c, rm in zip(criterion, requires_model):
+        if isinstance(c, mse_loss) and not rm:
             kinds.append("mse")
-        elif isinstance(c, sparsity_loss):
+        elif isinstance(c, sparsity_loss) and rm:
             kinds.append("sparsity")
         else:
+            # unknown criterion, or a known one registered with an
+            # unexpected requires_model flag (the fused objectives bake
+            # in mse(est, target) / sparsity(model) call shapes)
             kinds.append(None)
     if "mse" not in kinds or None in kinds or kinds.count("mse") > 1 \
             or kinds.count("sparsity") > 1:
@@ -62,6 +80,32 @@ def recognize_fused(model, criterion, alpha, requires_model):
     a_sp = alpha[i_sp] if i_sp is not None else 0.0
     sp_crit = criterion[i_sp] if i_sp is not None else None
     n = len(kinds)
+
+    def make_loss(extract, kernel_mse):
+        """Shared fused-objective skeleton: ``extract(model)`` pulls the
+        kernel operands (raising on topology mismatch happens at
+        recognition time below), ``kernel_mse(operands, X, target,
+        ff_tr)`` runs the fused Pallas step kernel for the mse term."""
+
+        def loss_fn(model, inputs, targets, step, loss_state):
+            if (inputs.shape[0] != 1 or inputs.shape[-1] != 1
+                    or targets.shape[0] != 1 or targets.shape[-1] != 1):
+                raise ValueError("fused step needs batch == channels == 1")
+            operands = extract(model)
+            X = jnp.fft.rfft(inputs[0, :, 0], n=model.nfft)
+            loop = model.get_core().feedback_loop
+            ff_tr = bool(getattr(loop.feedforward, "trainable", False))
+            mse = kernel_mse(operands, X, targets[0, :, 0], ff_tr, model)
+            per = [jnp.float32(0.0)] * n
+            per[i_mse] = mse
+            total = a_mse * mse
+            if i_sp is not None:
+                sp = sp_crit(None, None, model)
+                per[i_sp] = sp
+                total = total + a_sp * sp
+            return total, per
+
+        return loss_fn
 
     candidates = []
 
@@ -75,26 +119,14 @@ def recognize_fused(model, criterion, alpha, requires_model):
     else:
         from flamo_tpu.ops.pallas_solve import pallas_fdn_tf_mse
 
-        def colorless_loss(model, inputs, targets, step, loss_state):
-            if (inputs.shape[0] != 1 or inputs.shape[-1] != 1
-                    or targets.shape[0] != 1 or targets.shape[-1] != 1):
-                raise ValueError("fused step needs batch == channels == 1")
-            D, U, b, c = extract_siso_tf_operands(model)
-            X = jnp.fft.rfft(inputs[0, :, 0], n=model.nfft)
-            loop = model.get_core().feedback_loop
-            ff_tr = bool(getattr(loop.feedforward, "trainable", False))
-            mse = pallas_fdn_tf_mse(D, U, b, c, X, targets[0, :, 0],
-                                    with_dbar=ff_tr, pivot=False)
-            per = [jnp.float32(0.0)] * n
-            per[i_mse] = mse
-            total = a_mse * mse
-            if i_sp is not None:
-                sp = sp_crit(None, None, model)
-                per[i_sp] = sp
-                total = total + a_sp * sp
-            return total, per
+        def colorless_mse(operands, X, target, ff_tr, model):
+            D, U, b, c = operands
+            return pallas_fdn_tf_mse(D, U, b, c, X, target,
+                                     with_dbar=ff_tr, pivot=False)
 
-        candidates.append(("colorless_fused_step", colorless_loss))
+        candidates.append((
+            "colorless_fused_step",
+            make_loss(extract_siso_tf_operands, colorless_mse)))
 
     # -- attenuated combo: loop feedback = Series(mixing, SOS cascade) ---
     try:
@@ -107,26 +139,14 @@ def recognize_fused(model, criterion, alpha, requires_model):
     else:
         from flamo_tpu.ops.pallas_solve import pallas_fdn_sos_tf_mse
 
-        def attenuated_loss(model, inputs, targets, step, loss_state):
-            if (inputs.shape[0] != 1 or inputs.shape[-1] != 1
-                    or targets.shape[0] != 1 or targets.shape[-1] != 1):
-                raise ValueError("fused step needs batch == channels == 1")
-            D, bt, at, U, b, c = extract_attenuated_operands(model)
-            X = jnp.fft.rfft(inputs[0, :, 0], n=model.nfft)
-            loop = model.get_core().feedback_loop
-            ff_tr = bool(getattr(loop.feedforward, "trainable", False))
-            mse = pallas_fdn_sos_tf_mse(D, bt, at, U, b, c, X,
-                                        targets[0, :, 0], nfft=model.nfft,
-                                        with_dbar=ff_tr, pivot=False)
-            per = [jnp.float32(0.0)] * n
-            per[i_mse] = mse
-            total = a_mse * mse
-            if i_sp is not None:
-                sp = sp_crit(None, None, model)
-                per[i_sp] = sp
-                total = total + a_sp * sp
-            return total, per
+        def attenuated_mse(operands, X, target, ff_tr, model):
+            D, bt, at, U, b, c = operands
+            return pallas_fdn_sos_tf_mse(D, bt, at, U, b, c, X, target,
+                                         nfft=model.nfft,
+                                         with_dbar=ff_tr, pivot=False)
 
-        candidates.append(("attenuated_fused_step", attenuated_loss))
+        candidates.append((
+            "attenuated_fused_step",
+            make_loss(extract_attenuated_operands, attenuated_mse)))
 
     return candidates

@@ -147,4 +147,5 @@ def sfdn_fit(model, n_steps: int, lr: float = 1e-3,
         m, o, losses = jm(m, o, x, t, jnp.asarray(done), k)
         history.append(np.asarray(losses))
         done += k
-    return m, np.concatenate(history)
+    return m, (np.concatenate(history) if history
+               else np.zeros(0, dtype=np.float32))

@@ -155,9 +155,28 @@ class Trainer:
             if rel < 5e-3:
                 self._fused_loss = loss_fn
                 self.fused_path = name
-                print(f"Trainer: fused dispatch -> {name} "
-                      f"(parity rel={rel:.1e})")
+                if self.log:
+                    print(f"Trainer: fused dispatch -> {name} "
+                          f"(parity rel={rel:.1e})")
                 return
+
+    def _check_fused_finite(self, losses):
+        """Watchdog for the dispatched no-pivot kernels: the recognized
+        topologies keep ``||A||_2 <= 1`` by construction (see
+        models/dispatch.py), so a non-finite loss on the fused path means
+        either an exact closed-loop resonance (the pivoted path would
+        produce inf there too) or a model that drifted outside the
+        recognized structure — in both cases silently carrying NaNs
+        forward is worse than stopping.  Runs only at host sync points
+        (per step / per scan chunk), so it costs nothing on device."""
+        if self.fused_path is not None and not np.all(np.isfinite(losses)):
+            raise RuntimeError(
+                f"fused step kernel '{self.fused_path}' produced a "
+                "non-finite loss — the training state is corrupted from "
+                "this step on. Retrain with Trainer(..., fused='off') to "
+                "use the module-graph path (pivoted solve), and please "
+                "report the topology: the dispatch gate judged it "
+                "structurally stable.")
 
     def _gather_loss_state(self):
         """Collect stateful-loss arrays (e.g. mask partitions) so they enter
@@ -336,7 +355,9 @@ class Trainer:
             self._step_count += k
             done += k
             history.append(np.asarray(losses))
-        return np.concatenate(history)
+            self._check_fused_finite(history[-1])
+        return np.concatenate(history) if history else np.zeros(
+            0, dtype=np.float32)
 
     def fit_scan_epochs(self, batched_inputs, batched_targets,
                         n_epochs: int, valid_inputs=None,
@@ -411,6 +432,7 @@ class Trainer:
                 jnp.asarray(self._step_count), self._gather_loss_state())
             self._step_count += S
             history.append(np.asarray(losses))
+            self._check_fused_finite(history[-1])
             per = np.asarray(per)  # (S, n_loss)
             for j, criterion in enumerate(self.criterion):
                 self.train_loss_log.setdefault(
@@ -453,7 +475,9 @@ class Trainer:
         for criterion, value in zip(self.criterion, per):
             self.train_loss_log.setdefault(
                 self._loss_name(criterion), []).append(float(value))
-        return float(total)
+        total = float(total)
+        self._check_fused_finite(total)
+        return total
 
     def valid_step(self, data):
         """One validation step (no grad) (reference trainer.py:194-224)."""

@@ -306,7 +306,12 @@ def make_bins_sharded_evs_step(aa, target_evs, mesh, lr: float = 1e-3,
     at global step index ``i`` (the partition cycles with ``i``,
     matching ``optimize.mse_evs``); lockstep with the unsharded
     ``aa_evs_train_step`` up to f32 reduction order
-    (tests/test_parallel.py)."""
+    (tests/test_parallel.py).  For a training LOOP use
+    ``step.multi(m, o, er, ei, tg, step0, k)`` (same signature as the
+    unsharded ``multi``; jit with ``static_argnums=(6,)``): it hoists
+    the frozen full-M rows (H_LM materialization, diag(RG) product,
+    partition-order gathers, target sort) ONCE per scanned call, where
+    the single-step ``step`` must recompute them every call."""
     import numpy as np
 
     from flamo_tpu.functional import poly_roots_rows
@@ -346,7 +351,12 @@ def make_bins_sharded_evs_step(aa, target_evs, mesh, lr: float = 1e-3,
     er, ei = part_major(er[:, perm]), part_major(ei[:, perm])
     hp = jax.lax.Precision.HIGHEST
 
-    def step(m, o, er, ei, tg, i):
+    def _hoist_frozen(m, tg):
+        # frozen per-CALL hoists, same as the unsharded step: permuted
+        # partition-major rows of H_LM * diag(R G) and the sorted
+        # targets depend only on frozen modules, so a scanned training
+        # call (`multi`) pays the materialization + gathers ONCE, never
+        # per step (CLAUDE.md: no gathers on the hot path)
         from flamo_tpu.ops import linop
 
         core = m.get_core()
@@ -363,6 +373,9 @@ def make_bins_sharded_evs_step(aa, target_evs, mesh, lr: float = 1e-3,
         hi_all = part_major(jnp.imag(Hrg))
         tg_all = part_major(
             jnp.sort(tg, axis=-1).T[:, perm])  # (n_M, parts, Pp)
+        return hr_all, hi_all, tg_all
+
+    def _one_step(m, o, er, ei, hr_all, hi_all, tg_all, i):
         p_idx = jnp.asarray(i % n_parts)
 
         def shard_fn(hr_p, hi_p, tg_p, er_p, ei_p, taps, p_idx):
@@ -426,6 +439,26 @@ def make_bins_sharded_evs_step(aa, target_evs, mesh, lr: float = 1e-3,
         updates, o = tx.update(grads, o, m)
         return optax.apply_updates(m, updates), o, loss
 
+    def step(m, o, er, ei, tg, i):
+        hr_all, hi_all, tg_all = _hoist_frozen(m, tg)
+        return _one_step(m, o, er, ei, hr_all, hi_all, tg_all, i)
+
+    def multi(m, o, er, ei, tg, step0, k):
+        # scanned training call, mirroring the unsharded
+        # aa_evs_train_step's `multi(m, o, er, ei, tg, step0, k)`:
+        # hoists the frozen rows once, then scans k optimizer steps
+        hr_all, hi_all, tg_all = _hoist_frozen(m, tg)
+
+        def body(carry, i):
+            m, o = carry
+            m, o, loss = _one_step(m, o, er, ei, hr_all, hi_all, tg_all,
+                                   step0 + i)
+            return (m, o), loss
+
+        (m, o), losses = jax.lax.scan(body, (m, o), jnp.arange(k))
+        return m, o, losses
+
+    step.multi = multi
     return step, opt_state, er, ei
 
 

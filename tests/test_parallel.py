@@ -474,13 +474,18 @@ def test_bins_sharded_evs_step_matches_unsharded():
     flamo_tpu.set_seed(7)  # same partition key as the reference run
     step, opt_sh, er_sh, ei_sh = make_bins_sharded_evs_step(
         aa, tg, mesh, lr=1e-3, iter_num=4)
-    jstep = jax.jit(step)
-    m_sh, o_sh = aa.F_MM, opt_sh
-    losses_sh = []
-    for i in range(3):
-        m_sh, o_sh, loss = jstep(m_sh, o_sh, er_sh, ei_sh, tg,
-                                 jnp.asarray(i))
-        losses_sh.append(float(loss))
+    # the scanned form (step.multi) is the training hot path: it hoists
+    # the frozen full-M rows once per call instead of per step
+    m_sh, o_sh, losses_sh = jax.jit(
+        step.multi, static_argnums=(6,))(aa.F_MM, opt_sh, er_sh, ei_sh,
+                                         tg, jnp.asarray(0), 3)
+    losses_sh = np.asarray(losses_sh)
+
+    # the single-step wrapper recomputes the hoist per call but must
+    # produce the identical first step
+    _, _, loss0 = jax.jit(step)(aa.F_MM, opt_sh, er_sh, ei_sh, tg,
+                                jnp.asarray(0))
+    np.testing.assert_allclose(float(loss0), losses_sh[0], rtol=1e-6)
 
     np.testing.assert_allclose(losses_sh, np.asarray(losses_ref),
                                rtol=1e-4)
