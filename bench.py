@@ -1254,7 +1254,8 @@ def main():
                 or args.aa_only is not None or args.sfdn_only is not None)
     if not sub_mode and not tunnel_health_probe():
         print(json.dumps({
-            "metric": "train_steps_per_sec", "value": 0.0,
+            "metric": "colorless_fdn_train_steps_per_sec_nfft96000",
+            "value": 0.0,
             "unit": "steps/s", "vs_baseline": 0.0,
             "error": "device backend unresponsive (health probe timed "
                      "out before any measurement — on the axon tunnel "
