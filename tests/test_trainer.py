@@ -429,3 +429,42 @@ def test_trainer_fused_dispatch_rejects_mismatched_loss():
         masked_mse_loss(nfft=nfft, n_samples=64), 1)
     tr.fit_scan(x, t, n_steps=2, steps_per_call=2)
     assert tr.fused_path is None
+
+
+def test_trainer_fused_watchdog_raises_on_nonfinite():
+    """The fused-dispatch watchdog: a non-finite loss on a fused path
+    raises with recovery instructions instead of silently carrying NaNs
+    (models/dispatch.py documents why this should never fire for the
+    recognized topologies)."""
+    nfft, delays = 512, (89, 97, 107, 113)
+    M = nfft // 2 + 1
+    x = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, 1))
+    flamo_tpu.set_seed(7)
+    model = build_colorless_fdn(nfft=nfft, delays=delays)
+    tr = Trainer(model, max_epochs=1, lr=1e-2, log=False)
+    tr.register_criterion(mse_loss(nfft=nfft), 1)
+    # graph path (fused_path is None): non-finite passes through
+    tr._check_fused_finite(float("nan"))
+    tr.fused_path = "colorless_fused_step"
+    with pytest.raises(RuntimeError, match="fused.*non-finite"):
+        tr._check_fused_finite(float("nan"))
+    with pytest.raises(RuntimeError, match="fused.*non-finite"):
+        tr._check_fused_finite(np.array([1.0, np.inf]))
+    tr._check_fused_finite(np.array([1.0, 2.0]))  # healthy chunk
+
+
+def test_fit_scan_zero_steps_returns_empty_history():
+    """n_steps=0 (e.g. a caller computing epochs * num with a zero
+    operand) returns an empty history instead of raising from
+    np.concatenate."""
+    nfft, delays = 512, (89, 97, 107, 113)
+    M = nfft // 2 + 1
+    x = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, 1))
+    flamo_tpu.set_seed(7)
+    model = build_colorless_fdn(nfft=nfft, delays=delays)
+    tr = Trainer(model, max_epochs=1, lr=1e-2, log=False)
+    tr.register_criterion(mse_loss(nfft=nfft), 1)
+    hist = tr.fit_scan(x, t, n_steps=0)
+    assert hist.shape == (0,)
