@@ -56,12 +56,13 @@ def main(args):
         args.fast == "auto" and jax.default_backend() != "cpu")
     if use_fast:
         # paved-road fast path: models.sfdn_fit scans the whole masked
-        # objective (full (M, N, N) frequency-dependent closed-loop solve
-        # included) in jitted chunks — the same objective the Trainer
-        # runs, so the gate is just a finite + decreasing loss check
+        # objective in jitted chunks — masked=True solves the closed
+        # loop only at each step's masked bins (identical objective,
+        # lockstep parity pinned in tests/test_models.py), so the gate
+        # is just a finite + decreasing loss check
         try:
             trained, history = sfdn_fit(model, n_steps=n_steps, lr=args.lr,
-                                        n_samples=n_samples)
+                                        n_samples=n_samples, masked=True)
             if np.isfinite(history).all() and history[-1] <= history[0]:
                 trainer.net = trained
                 trainer.train_loss = [float(history[0]),

@@ -4,7 +4,8 @@ from flamo_tpu.models.colorless_fdn import (
     colorless_train_step, extract_siso_tf_operands,
 )
 from flamo_tpu.models.scattering_fdn import (
-    build_colorless_sfdn, sfdn_fit, sfdn_train_step,
+    build_colorless_sfdn, sfdn_fit, sfdn_masked_loss,
+    sfdn_masked_train_step, sfdn_train_step,
 )
 from flamo_tpu.models.attenuated_fdn import (
     attenuated_loss, attenuated_loss_fused_step, attenuated_train_step,

@@ -194,3 +194,64 @@ def test_aa_evs_train_step_matches_mse_evs():
     l0 = float(run(aa.F_MM, opt_state, er, ei, tg, 1)[2][-1])
     l40 = float(run(aa.F_MM, opt_state, er, ei, tg, 40)[2][-1])
     assert l40 < l0
+
+
+def test_sfdn_builder_and_masked_step_lockstep():
+    """The scattering-FDN masked-bin fast path (models.sfdn_masked_train_step)
+    trains in lockstep with the graph step: identical objective, identical
+    mask schedule, closed loop solved only at each step's masked bins
+    (reference examples/e8_colorless_sfdn.py:29-152)."""
+    from flamo_tpu.models import build_colorless_sfdn
+    from flamo_tpu.models.scattering_fdn import (sfdn_masked_train_step,
+                                                 sfdn_train_step)
+    from flamo_tpu.utils import host_eager
+
+    nfft = 2048
+    M = nfft // 2 + 1
+    flamo_tpu.set_seed(42)
+    with host_eager():
+        m = build_colorless_sfdn(nfft=nfft,
+                                 delays=(197, 229, 253, 307, 331, 389))
+        flamo_tpu.set_seed(7)
+        s_graph, o_graph = sfdn_train_step(m, n_samples=128)
+        flamo_tpu.set_seed(7)
+        s_masked, o_masked = sfdn_masked_train_step(m, n_samples=128)
+    x = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, 1))
+    jg = jax.jit(s_graph)
+    jm = jax.jit(s_masked)
+    mg, og, mm_, om = m, o_graph, m, o_masked
+    losses_g, losses_m = [], []
+    for i in range(4):
+        mg, og, lg = jg(mg, og, x, t, jnp.asarray(i))
+        mm_, om, lm = jm(mm_, om, x, t, jnp.asarray(i))
+        losses_g.append(float(lg))
+        losses_m.append(float(lm))
+    # lockstep trajectories (identical masks + math, f32 determinism)
+    np.testing.assert_allclose(losses_m, losses_g, rtol=1e-5)
+    assert np.isfinite(losses_g).all()
+    # trained parameters stay lockstep too
+    lg = jax.tree_util.tree_leaves(mg)
+    lm = jax.tree_util.tree_leaves(mm_)
+    for a, b in zip(lg, lm):
+        if hasattr(a, "dtype") and jnp.issubdtype(
+                jnp.asarray(a).dtype, jnp.floating):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+
+def test_sfdn_masked_fit_decreases():
+    """models.sfdn_fit(masked=True) — the e8 sfdn example's accelerator
+    fast path — trains the masked objective down."""
+    from flamo_tpu.models import build_colorless_sfdn, sfdn_fit
+    from flamo_tpu.utils import host_eager
+
+    flamo_tpu.set_seed(3)
+    with host_eager():
+        m = build_colorless_sfdn(nfft=1024, delays=(97, 113, 127, 149),
+                                 n_stages=2)
+    trained, hist = sfdn_fit(m, n_steps=30, lr=1e-2, n_samples=64,
+                             steps_per_call=15, masked=True)
+    assert hist.shape == (30,)
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]
