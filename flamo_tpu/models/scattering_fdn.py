@@ -139,6 +139,16 @@ def sfdn_masked_loss(m, X, targets, mask, sparsity_weight: float = 0.2,
     Args: ``X`` is the input spectrum ``input_layer(inputs)`` (B, M, C)
     — loop-invariant, hoist it out of scans; ``mask`` is the (P,) bin
     index set for this step."""
+    est = sfdn_masked_est(m, X, mask, solve_method=solve_method)
+    mse = jnp.mean((est - targets[:, mask, 0]) ** 2)
+    return mse + sparsity_weight * _SPARSITY(None, None, m)
+
+
+def sfdn_masked_est(m, X, mask, solve_method: str = "ge_cached"):
+    """``abs(model(inputs))[:, mask, 0]`` computed only at the masked
+    bins, for a SISO Shell whose loop is diagonal delays x full
+    frequency-dependent feedback (see :func:`sfdn_masked_loss`).
+    Returns (B, P)."""
     core = m.get_core()
     loop = core.feedback_loop
     S = loop.feedback.response()[mask]            # (P, N, N) complex
@@ -154,9 +164,7 @@ def sfdn_masked_loss(m, X, targets, mask, sparsity_weight: float = 0.2,
 
     Ab = jnp.broadcast_to(A[None], (rhs.shape[0],) + A.shape)
     y = closed_loop_solve(Ab, rhs, method=solve_method)
-    est = jnp.abs(jnp.einsum("n,bpn->bp", go[0], y))          # (B, P)
-    mse = jnp.mean((est - targets[:, mask, 0]) ** 2)
-    return mse + sparsity_weight * _SPARSITY(None, None, m)
+    return jnp.abs(jnp.einsum("n,bpn->bp", go[0], y))         # (B, P)
 
 
 def sfdn_masked_train_step(model, lr: float = 1e-3, n_samples: int = 2000,

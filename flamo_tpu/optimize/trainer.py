@@ -125,13 +125,14 @@ class Trainer:
         self._fused_gated = True
         if self.fused == "off" or self.n_loss == 0:
             return
-        if self.fused != "force" and jax.default_backend() == "cpu":
-            # interpreter-mode Pallas on CPU is slower than the graph
-            return
         from flamo_tpu.models.dispatch import recognize_fused
 
         candidates = recognize_fused(self.net, self.criterion, self.alpha,
                                      self.requires_model)
+        if self.fused != "force" and jax.default_backend() == "cpu":
+            # interpreter-mode Pallas on CPU is slower than the graph;
+            # pure-XLA candidates (cpu_ok) stay eligible
+            candidates = [c for c in candidates if c[2]]
         if not candidates:
             return
         ls = self._gather_loss_state()
@@ -144,7 +145,7 @@ class Trainer:
             g = float(jax.jit(graph_total)(self.net, inputs, targets))
         except Exception:
             return
-        for name, loss_fn in candidates:
+        for name, loss_fn, _cpu_ok in candidates:
             try:
                 f = float(jax.jit(
                     lambda m, x, t: loss_fn(m, x, t, step0, ls)[0])(

@@ -416,8 +416,10 @@ def test_trainer_fused_dispatch_cpu_fallback():
 
 
 def test_trainer_fused_dispatch_rejects_mismatched_loss():
-    """A criteria set the kernels cannot express (masked_mse) must never
-    dispatch, even under fused='force'."""
+    """masked_mse on a flat-feedback (colorless) topology must never
+    dispatch, even under fused='force': the Pallas kernels cannot
+    express the masked objective, and the masked-bin sfdn path requires
+    a frequency-dependent (M, N, N) feedback response."""
     nfft, delays = 512, (89, 97, 107, 113)
     M = nfft // 2 + 1
     x = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
@@ -429,6 +431,40 @@ def test_trainer_fused_dispatch_rejects_mismatched_loss():
         masked_mse_loss(nfft=nfft, n_samples=64), 1)
     tr.fit_scan(x, t, n_steps=2, steps_per_call=2)
     assert tr.fused_path is None
+
+
+def test_trainer_sfdn_masked_dispatch():
+    """masked_mse [+ sparsity] on the scattering-FDN topology dispatches
+    to the masked-bin fast path (models/dispatch.py 'sfdn_masked_step')
+    — pure XLA, so it is eligible on the CPU backend under the default
+    fused='auto' too — and trains in lockstep with the graph path."""
+    from flamo_tpu.models import build_colorless_sfdn
+    from flamo_tpu.utils import host_eager
+
+    nfft, delays = 1024, (97, 113, 127, 149)
+    M = nfft // 2 + 1
+    x = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, 1))
+
+    def run(fused):
+        flamo_tpu.set_seed(11)
+        with host_eager():
+            model = build_colorless_sfdn(nfft=nfft, delays=delays,
+                                         n_stages=2)
+        tr = Trainer(model, max_epochs=1, lr=1e-2, log=False, fused=fused)
+        flamo_tpu.set_seed(5)
+        tr.register_criterion(
+            masked_mse_loss(nfft=nfft, n_samples=64), 1)
+        tr.register_criterion(sparsity_loss(), 0.2, requires_model=True)
+        hist = tr.fit_scan(x, t, n_steps=6, steps_per_call=3)
+        return tr, hist
+
+    tr_g, hist_g = run("off")
+    assert tr_g.fused_path is None
+    tr_f, hist_f = run("auto")
+    assert tr_f.fused_path == "sfdn_masked_step"
+    assert hist_f[-1] < hist_f[0]
+    np.testing.assert_allclose(hist_f, hist_g, rtol=2e-3)
 
 
 def test_trainer_fused_watchdog_raises_on_nonfinite():
