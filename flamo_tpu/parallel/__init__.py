@@ -8,4 +8,5 @@ from flamo_tpu.parallel.fused import (
     bins_sharded_attenuated_loss, make_bins_sharded_attenuated_step,
     make_bins_sharded_aa_taps_step, make_bins_sharded_evs_step,
     seed_bins_sharded_fused_loss, make_seed_bins_sharded_fused_step,
+    masked_sharded_sfdn_loss, make_masked_sharded_sfdn_step,
 )

@@ -49,7 +49,9 @@ __all__ = ["bins_sharded_fused_loss", "make_bins_sharded_fused_step",
            "make_bins_sharded_aa_taps_step",
            "make_bins_sharded_evs_step",
            "seed_bins_sharded_fused_loss",
-           "make_seed_bins_sharded_fused_step"]
+           "make_seed_bins_sharded_fused_step",
+           "masked_sharded_sfdn_loss",
+           "make_masked_sharded_sfdn_step"]
 
 
 def bins_sharded_fused_loss(model, X, t, mesh, axis_name: str = "bins",
@@ -547,5 +549,103 @@ def make_seed_bins_sharded_fused_step(model, mesh, lr: float = 1e-3,
             loss_fn, has_aux=True)(m)
         updates, o = jax.vmap(tx.update)(grads, o, m)
         return optax.apply_updates(m, updates), o, losses
+
+    return step, opt_state
+
+
+def masked_sharded_sfdn_loss(model, X, targets, mask, mesh,
+                             axis_name: str = "bins",
+                             sparsity_weight: float = 0.2,
+                             solve_method: str = "ge_cached"):
+    """The scattering-FDN masked objective
+    (:func:`models.scattering_fdn.sfdn_masked_loss`) with the step's
+    MASKED bins sharded over ``mesh[axis_name]`` — the multi-chip form
+    of the fourth workload family.
+
+    The frequency-dependent responses are computed once in the global
+    program (the scattering rfft is the same on every device) and
+    gathered at ``mask`` BEFORE the shard_map, so only the per-bin
+    assemble + (pivoted) solve + loss shards; the gains/solve operands
+    are replicated and their cotangents arrive via the gradient psums
+    ``shard_map`` transposition inserts.  Zero-padded bins are exact
+    no-ops (zero D rows make the loop matrix the identity and a zero
+    rhs, so est = 0 against a zero-padded target).  Lockstep with the
+    unsharded masked loss up to f32 reduction order
+    (tests/test_parallel.py)."""
+    core = model.get_core()
+    loop = core.feedback_loop
+    S = loop.feedback.response()[mask]            # (P, N, N) complex
+    D = loop.feedforward.response()[mask]         # (P, N) complex diag
+    gi = core.input_gain.response()               # (N, 1) complex
+    go = core.output_gain.response()              # (1, N) complex
+    Xm = X[0, mask, 0]                            # (P,)
+    tm = targets[0, mask, 0]                      # (P,)
+    P_total = mask.shape[0]
+    n = mesh.shape[axis_name]
+    Pp = ((P_total + n - 1) // n) * n
+    pad = Pp - P_total
+    if pad:
+        S = jnp.pad(S, ((0, pad), (0, 0), (0, 0)))
+        D = jnp.pad(D, ((0, pad), (0, 0)))
+        Xm = jnp.pad(Xm, (0, pad))
+        tm = jnp.pad(tm, (0, pad))
+
+    from flamo_tpu.ops.solve import closed_loop_solve
+
+    def shard_fn(S, D, Xm, tm, gi, go):
+        N = D.shape[-1]
+        eye = jnp.eye(N, dtype=S.dtype)
+        A = eye - D[:, :, None] * S               # (P_loc, N, N)
+        rhs = D * (gi[None, :, 0] * Xm[:, None])  # (P_loc, N)
+        y = closed_loop_solve(A, rhs, method=solve_method)
+        est = jnp.abs(jnp.einsum("n,pn->p", go[0], y))
+        part = jnp.sum((est - tm) ** 2)
+        return jax.lax.psum(part, axis_name) / P_total
+
+    loss = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(axis_name, None, None), P(axis_name, None),
+                  P(axis_name), P(axis_name), P(), P()),
+        out_specs=P(), check_vma=False,
+    )(S, D, Xm, tm, gi, go)
+    from flamo_tpu.models.scattering_fdn import _SPARSITY
+
+    return loss + sparsity_weight * _SPARSITY(None, None, model)
+
+
+def make_masked_sharded_sfdn_step(model, mesh, lr: float = 1e-3,
+                                  n_samples: int = 2000,
+                                  sparsity_weight: float = 0.2,
+                                  axis_name: str = "bins", key=None,
+                                  solve_method: str = "ge_cached"):
+    """Build ``(jittable_step, opt_state)`` for the scattering-FDN
+    workload with each step's masked bins sharded over
+    ``mesh[axis_name]`` (see :func:`masked_sharded_sfdn_loss`).
+
+    Drop-in step signature (matches
+    :func:`models.scattering_fdn.sfdn_masked_train_step`):
+    ``step(model, opt_state, inputs, targets, i)`` — ``i`` selects and
+    in-graph regenerates the bin-partition mask, so the schedule is the
+    unsharded paths'."""
+    from flamo_tpu.optimize.loss import masked_mse_loss
+
+    tx = masked_optimizer(optax.adam(lr), model)
+    opt_state = tx.init(model)
+    ml = masked_mse_loss(nfft=model.nfft, n_samples=n_samples, n_sets=1,
+                         regenerate_mask=True, key=key)
+
+    def step(model, opt_state, inputs, targets, i):
+        mask = ml.masks_for_cycle(i // ml.n_masks)[i % ml.n_masks]
+        X = model.input_layer(inputs)
+
+        def loss_fn(m):
+            return masked_sharded_sfdn_loss(
+                m, X, targets, mask, mesh, axis_name=axis_name,
+                sparsity_weight=sparsity_weight,
+                solve_method=solve_method)
+
+        loss, grads = jax.value_and_grad(loss_fn)(model)
+        updates, opt_state = tx.update(grads, opt_state, model)
+        return optax.apply_updates(model, updates), opt_state, loss
 
     return step, opt_state

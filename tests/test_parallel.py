@@ -495,3 +495,41 @@ def test_bins_sharded_evs_step_matches_unsharded():
         if a.dtype.kind == "f":
             scale = max(1e-12, np.abs(b).max())
             assert np.abs(a - b).max() / scale < 1e-4
+
+
+def test_masked_sharded_sfdn_step_lockstep(mesh):
+    """The bins-sharded scattering-FDN masked step trains in lockstep
+    with the unsharded masked step (same objective, mask schedule and
+    optimizer; masked bins zero-padded and sharded over the 8-device
+    mesh)."""
+    from flamo_tpu.models import build_colorless_sfdn
+    from flamo_tpu.models.scattering_fdn import sfdn_masked_train_step
+    from flamo_tpu.parallel import make_masked_sharded_sfdn_step
+    from flamo_tpu.utils import host_eager
+
+    nfft = 1024
+    M = nfft // 2 + 1
+    flamo_tpu.set_seed(21)
+    with host_eager():
+        m = build_colorless_sfdn(nfft=nfft, delays=(97, 113, 127, 149),
+                                 n_stages=2)
+        flamo_tpu.set_seed(9)
+        s_ref, o_ref = sfdn_masked_train_step(m, n_samples=100)
+        flamo_tpu.set_seed(9)
+        s_sh, o_sh = make_masked_sharded_sfdn_step(m, mesh,
+                                                   n_samples=100)
+    x = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    t = jnp.ones((1, M, 1))
+    jr = jax.jit(s_ref)
+    js = jax.jit(s_sh)
+    mr, our, ms, os_ = m, o_ref, m, o_sh
+    for i in range(3):
+        mr, our, lr_ = jr(mr, our, x, t, jnp.asarray(i))
+        ms, os_, ls_ = js(ms, os_, x, t, jnp.asarray(i))
+        np.testing.assert_allclose(float(ls_), float(lr_), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(mr),
+                    jax.tree_util.tree_leaves(ms)):
+        if hasattr(a, "dtype") and jnp.issubdtype(
+                jnp.asarray(a).dtype, jnp.floating):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
