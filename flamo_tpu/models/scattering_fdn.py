@@ -130,11 +130,14 @@ def sfdn_masked_loss(m, X, targets, mask, sparsity_weight: float = 0.2,
     elimination is bin-independent, so ``est_masked == est_full[mask]``
     up to f32 determinism; pinned in tests/test_models.py).
 
-    The scattering response itself still comes from the module's own
-    full-``nfft`` rfft (``feedback.response()`` — the trainable ir is
-    time-domain, and 36 length-96000 rffts are far cheaper than a
-    (P, L) DFT contraction at HIGHEST precision), gathered at ``mask``;
-    its VJP is the matching irfft-style transpose.
+    The per-module responses come from ``response_at(mask)`` (see
+    ``processor.dsp``): the scattering response as a (P, L) x (L, N*N)
+    exact-phase DFT contraction on the MXU and the delay diagonal as a
+    closed-form phasor — no (M, ...) array is materialized anywhere in
+    the step.  (An earlier full-``response()`` + gather form measured
+    5.9 ms/step on the TPU, ~60% of it (M, 6, 6)-shaped pads/copies at
+    ~30x padded-tile bandwidth waste — slower than the unmasked graph
+    step it was meant to beat.)
 
     Args: ``X`` is the input spectrum ``input_layer(inputs)`` (B, M, C)
     — loop-invariant, hoist it out of scans; ``mask`` is the (P,) bin
@@ -151,8 +154,14 @@ def sfdn_masked_est(m, X, mask, solve_method: str = "ge_cached"):
     Returns (B, P)."""
     core = m.get_core()
     loop = core.feedback_loop
-    S = loop.feedback.response()[mask]            # (P, N, N) complex
-    D = loop.feedforward.response()[mask]         # (P, N) complex diag
+    # response_at: the scattering response at ONLY the masked bins via
+    # a (P, L) x (L, N*N) MXU DFT contraction and the delay diagonal as
+    # a closed-form phasor — never materializing (M, N, N).  The full-
+    # response + gather form of this step profiled 5.9 ms/step on the
+    # TPU, ~3.5 ms of it (M, 6, 6) pads/copies/broadcasts at padded-
+    # tile bandwidth (docs/performance.md).
+    S = loop.feedback.response_at(mask)           # (P, N, N) complex
+    D = loop.feedforward.response_at(mask)        # (P, N) complex diag
     gi = core.input_gain.response()               # (N, 1) complex
     go = core.output_gain.response()              # (1, N) complex
     N = D.shape[-1]

@@ -574,8 +574,8 @@ def masked_sharded_sfdn_loss(model, X, targets, mask, mesh,
     (tests/test_parallel.py)."""
     core = model.get_core()
     loop = core.feedback_loop
-    S = loop.feedback.response()[mask]            # (P, N, N) complex
-    D = loop.feedforward.response()[mask]         # (P, N) complex diag
+    S = loop.feedback.response_at(mask)           # (P, N, N) complex
+    D = loop.feedforward.response_at(mask)        # (P, N) complex diag
     gi = core.input_gain.response()               # (N, 1) complex
     go = core.output_gain.response()              # (1, N) complex
     Xm = X[0, mask, 0]                            # (P,)

@@ -56,6 +56,22 @@ def _softplus(x):
     return jax.nn.softplus(x)
 
 
+def _bins_prod_mod(b, m_int, nfft: int):
+    """``(b * m_int) % nfft`` with every int32 intermediate < 2**31.
+
+    ``b``: int32 rfft bin indices (< nfft); ``m_int``: int32 sample
+    counts (reduced mod nfft here); shapes must broadcast.  One hi/lo
+    split of ``m_int`` bounds the largest product by
+    ``nfft * max(nfft/256, 256)`` — exact for nfft up to ~2**19, far
+    beyond any audio rfft grid.  Used by the ``response_at`` phasor
+    paths: integer phase indices mod nfft avoid the f32 large-angle
+    precision loss of ``cos(2*pi*b*m/nfft)`` at b*m ~ 1e8."""
+    m_int = m_int % nfft
+    hi = m_int // 256
+    lo = m_int % 256
+    return ((b * hi) % nfft * 256 + b * lo) % nfft
+
+
 # ============================= TRANSFORMS ================================
 
 
@@ -209,6 +225,21 @@ class DSP(Module):
         """2 pi m / nfft on the rfft grid, shape (M,)."""
         return (2 * jnp.pi * jnp.arange(self.M, dtype=self.dtype) / self.nfft)
 
+    def response_at(self, bins, ext_param=None):
+        """Frequency response evaluated only at rfft bins ``bins``.
+
+        Semantically ``response()[bins]`` for modules whose response
+        carries the (M, ...) frequency axis (frequency-flat modules —
+        Gain — return their flat response unchanged).  This base
+        implementation materializes the full response and gathers,
+        which is correct for every module; Filter (short-IR DFT
+        contraction on the MXU with exact integer phase) and Delay
+        (closed-form phasor) override it so masked objectives (e.g.
+        the scattering-FDN's masked_mse step) never touch (M, ...)
+        arrays — on TPU a (M, N, N) minor-dim layout pads to (8, 128)
+        tiles, ~30x bandwidth waste (docs/performance.md)."""
+        return self.response(ext_param)[jnp.asarray(bins)]
+
     # -- functional parameter update ---------------------------------------
     def assign_value(self, new_value, indx=None) -> "DSP":
         """Functional counterpart of the reference's in-place assign
@@ -264,6 +295,11 @@ class Gain(DSP):
 
     def response(self, ext_param=None):
         return to_complex(self.map(self._raw(ext_param)))
+
+    def response_at(self, bins, ext_param=None):
+        """Frequency-flat: the (N_out, N_in) response is identical at
+        every bin (see :meth:`DSP.response_at`)."""
+        return self.response(ext_param)
 
     def __call__(self, x, ext_param=None):
         self.check_input_shape(x)
@@ -428,6 +464,39 @@ class Filter(DSP):
         env = jnp.asarray(self.gamma, dtype=self.dtype) ** t
         env = env.reshape((-1,) + (1,) * (ir.ndim - 1))
         return jnp.fft.rfft(ir * env, n=self.nfft, axis=0)
+
+    def response_at(self, bins, ext_param=None):
+        """``response()[bins]`` without the full-nfft rfft: scale the
+        (L, ...) ir by the alias envelope and contract it against an
+        exact-phase DFT basis at just those bins — two
+        Precision.HIGHEST MXU matmuls of shape (P, L) x (L, prod(size))
+        (phase indices are integers mod nfft via :func:`_bins_prod_mod`,
+        so there is no large-angle f32 phase loss).  Cost O(P*L) with
+        no (M, ...) arrays anywhere; for the reference scattering
+        scenario (L=1415, P=2000) that replaces ~3.5 ms/step of padded-
+        tile (M, 6, 6) HBM traffic (see docs/performance.md)."""
+        if type(self).response is not Filter.response:
+            # subclass redefined response() (the IIR ratio families —
+            # Biquad/SOS/SVF/GEQ/PEQ/AccurateGEQ): the FIR contraction
+            # below would not match; use the correct base gather
+            return DSP.response_at(self, bins, ext_param)
+        b = jnp.asarray(bins, dtype=jnp.int32)
+        ir = self.ir(self._raw(ext_param))
+        if ir.shape[0] > self.nfft:  # rfft(n=nfft) truncates; match it
+            ir = ir[:self.nfft]
+        L = ir.shape[0]
+        t = jnp.arange(L, dtype=self.dtype)
+        env = jnp.asarray(self.gamma, dtype=self.dtype) ** t
+        flat = (ir * env.reshape((-1,) + (1,) * (ir.ndim - 1))).reshape(L, -1)
+        idx = _bins_prod_mod(b[:, None],
+                             jnp.arange(L, dtype=jnp.int32)[None, :],
+                             self.nfft)
+        ph = (2 * jnp.pi / self.nfft) * idx.astype(self.dtype)
+        hp = jax.lax.Precision.HIGHEST
+        re = jnp.matmul(jnp.cos(ph), flat, precision=hp)
+        im = jnp.matmul(jnp.sin(ph), flat, precision=hp)
+        return jax.lax.complex(re, -im).reshape(
+            (b.shape[0],) + ir.shape[1:])
 
     def __call__(self, x, ext_param=None):
         self.check_input_shape(x)
@@ -1345,6 +1414,28 @@ class Delay(DSP):
         phase = jnp.einsum("f,mn->fmn", w, m)
         gam = jnp.asarray(self.gamma, self.dtype)
         return (gam ** m)[None] * jnp.exp(-1j * phase)
+
+    def response_at(self, bins, ext_param=None):
+        """Closed-form ``gamma^m e^{-j w m}`` at just ``bins`` (see
+        :meth:`DSP.response_at`; shape-generic over Delay's (N_out,
+        N_in) and parallelDelay's (N,) delay arrays).  The phase
+        ``b * m`` is reduced mod nfft with the integer part of ``m``
+        in exact int32 arithmetic; the fractional part — nonzero only
+        for trainable non-integer delays, and the sole leaf the delay
+        gradient flows through (d phase/d m = 2 pi b / nfft, matching
+        the exact derivative since floor is piecewise-constant) — is
+        added in f32, where its < nfft magnitude keeps rounding at
+        ~1e-7 rad."""
+        m = self.get_delays(self._raw(ext_param))
+        b = jnp.asarray(bins, dtype=jnp.int32)
+        mi = jax.lax.stop_gradient(jnp.floor(m))
+        frac = m - mi
+        bb = b.reshape((-1,) + (1,) * m.ndim)
+        idx = _bins_prod_mod(bb, mi.astype(jnp.int32), self.nfft)
+        ph = (2 * jnp.pi / self.nfft) * (
+            idx.astype(self.dtype) + bb.astype(self.dtype) * frac)
+        gam = jnp.asarray(self.gamma, self.dtype)
+        return (gam ** m)[None] * jnp.exp(-1j * ph)
 
     def __call__(self, x, ext_param=None):
         self.check_input_shape(x)

@@ -175,6 +175,43 @@ def _build_aa_evs(k: int):
     return aa.F_MM, multi, opt_state, inputs, tg
 
 
+def _build_sfdn(k: int, solve_method: str):
+    """The sfdn_train bench workload (masked_<m> = the masked-bin fast
+    path with inner solve <m>; bare methods = the full module graph)."""
+    import jax
+    import jax.numpy as jnp
+    import flamo_tpu
+    from flamo_tpu.models import build_colorless_sfdn
+    from flamo_tpu.models.scattering_fdn import (DEFAULT_SFDN_DELAYS,
+                                                 sfdn_masked_train_step,
+                                                 sfdn_train_step)
+
+    flamo_tpu.set_seed(130709)
+    masked = solve_method.startswith("masked_")
+    model = build_colorless_sfdn(
+        nfft=NFFT, delays=DEFAULT_SFDN_DELAYS,
+        solve_method="ge" if masked else solve_method)
+    if masked:
+        step, opt_state = sfdn_masked_train_step(
+            model, solve_method=solve_method[len("masked_"):])
+    else:
+        step, opt_state = sfdn_train_step(model)
+    M = NFFT // 2 + 1
+    inputs = jnp.zeros((1, M, 1)).at[:, 0, :].set(1.0)
+    targets = jnp.ones((1, M, 1))
+
+    def multi(m, o, x, t):
+        def body(carry, i):
+            mm, oo = carry
+            mm, oo, loss = step(mm, oo, x, t, i)
+            return (mm, oo), loss
+
+        (m, o), losses = jax.lax.scan(body, (m, o), jnp.arange(k))
+        return m, o, losses[-1]
+
+    return model, multi, opt_state, inputs, targets
+
+
 def capture(workload: str, solve_method: str, k: int, cache_delays: bool):
     import jax
     from flamo_tpu.utils import host_eager, to_device
@@ -198,6 +235,10 @@ def capture(workload: str, solve_method: str, k: int, cache_delays: bool):
         elif workload == "aa_evs":
             model, prebuilt_multi, opt_state, inputs, targets = \
                 _build_aa_evs(k)
+            built = None
+        elif workload == "sfdn":
+            model, prebuilt_multi, opt_state, inputs, targets = \
+                _build_sfdn(k, solve_method)
             built = None
         else:
             raise SystemExit(f"unknown workload {workload!r}")
@@ -280,7 +321,8 @@ def device_kernel_rollup(events, k: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workload", default="colorless",
-                    choices=["colorless", "attenuated", "aa", "aa_evs"])
+                    choices=["colorless", "attenuated", "aa", "aa_evs",
+                             "sfdn"])
     ap.add_argument("--solve", default=None,
                     help="colorless: pallas/pallas_tf/pallas_step[_np]/"
                          "ge*; attenuated: fused_np/fused/pallas; "
@@ -291,10 +333,11 @@ def main():
     args = ap.parse_args()
     if args.solve is None:
         args.solve = {"colorless": "pallas", "attenuated": "fused_np",
-                      "aa": "hoisted", "aa_evs": "evs"}[args.workload]
+                      "aa": "hoisted", "aa_evs": "evs",
+                      "sfdn": "masked_ge_cached"}[args.workload]
     if args.k is None:
         args.k = {"colorless": 400, "attenuated": 400, "aa": 20,
-                  "aa_evs": 100}[args.workload]
+                  "aa_evs": 100, "sfdn": 100}[args.workload]
     tracedir = capture(args.workload, args.solve, args.k, args.cache_delays)
     events = load_perfetto_events(tracedir)
     device_kernel_rollup(events, args.k)

@@ -317,3 +317,74 @@ def test_module_is_pytree():
     g2 = jax.tree_util.tree_unflatten(treedef, leaves)
     assert isinstance(g2, dsp.Gain)
     assert g2.nfft == NFFT and g2.trainable
+
+
+# ---------------------------------------------------------------- response_at
+def test_response_at_matches_gathered_response():
+    """response_at(bins) == response()[bins] across the protocol:
+    Filter/ScatteringMatrix (exact-phase DFT contraction), Delay /
+    parallelDelay (closed-form phasor incl. trainable non-integer
+    delays), Gain (frequency-flat), and the DSP-base gather fallback
+    (SVF has no override)."""
+    flamo_tpu.set_seed(11)
+    bins = jnp.asarray([0, 1, 7, 100, 311, M - 1])
+
+    f = dsp.Filter(size=(48, 3, 2), nfft=NFFT, requires_grad=True,
+                   alias_decay_db=20.0)
+    np.testing.assert_allclose(np.asarray(f.response_at(bins)),
+                               np.asarray(f.response()[bins]),
+                               rtol=2e-4, atol=2e-5)
+
+    s = dsp.ScatteringMatrix(size=(3, 4, 4), nfft=NFFT, sparsity=2,
+                             m_L=np.array([3, 5, 2, 7]),
+                             m_R=np.array([2, 4, 6, 3]),
+                             alias_decay_db=30.0)
+    np.testing.assert_allclose(np.asarray(s.response_at(bins)),
+                               np.asarray(s.response()[bins]),
+                               rtol=2e-4, atol=2e-5)
+
+    d = dsp.parallelDelay(size=(4,), max_len=200, nfft=NFFT, isint=True,
+                          alias_decay_db=30.0)
+    # f32 phase-rounding order differs (2pi/nfft * (b*m mod nfft) vs
+    # (2pi*b/nfft) * m) -> ~1e-5 absolute wiggle on O(1) phasors
+    np.testing.assert_allclose(np.asarray(d.response_at(bins)),
+                               np.asarray(d.response()[bins]),
+                               rtol=1e-4, atol=2e-5)
+
+    dt = dsp.Delay(size=(2, 3), max_len=150, nfft=NFFT,
+                   requires_grad=True)  # softplus map -> non-integer
+    np.testing.assert_allclose(np.asarray(dt.response_at(bins)),
+                               np.asarray(dt.response()[bins]),
+                               rtol=1e-4, atol=1e-5)
+
+    g = dsp.Gain(size=(3, 2), nfft=NFFT)
+    np.testing.assert_allclose(np.asarray(g.response_at(bins)),
+                               np.asarray(g.response()),
+                               rtol=1e-6)
+
+    svf = dsp.SVF(size=(1, 1), nfft=NFFT)  # base-class gather fallback
+    np.testing.assert_allclose(np.asarray(svf.response_at(bins)),
+                               np.asarray(svf.response()[bins]),
+                               rtol=1e-6)
+
+
+def test_response_at_delay_gradient_matches():
+    """The trainable-delay phase split (int32 mod + f32 fraction) keeps
+    the exact derivative d phase / d m = 2 pi b / nfft: grads through
+    response_at match grads through the gathered full response."""
+    flamo_tpu.set_seed(12)
+    d = dsp.Delay(size=(2, 2), max_len=100, nfft=NFFT, requires_grad=True)
+    bins = jnp.asarray([3, 97, 410])
+
+    def loss_at(p):
+        return jnp.sum(jnp.abs(d.response_at(bins, ext_param=p)) ** 2) + \
+            jnp.sum(d.response_at(bins, ext_param=p).real)
+
+    def loss_full(p):
+        r = d.response(ext_param=p)[bins]
+        return jnp.sum(jnp.abs(r) ** 2) + jnp.sum(r.real)
+
+    g1 = jax.grad(loss_at)(d.param)
+    g2 = jax.grad(loss_full)(d.param)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=1e-3, atol=1e-4)
